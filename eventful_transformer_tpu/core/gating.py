@@ -1,0 +1,190 @@
+"""Gates, token buffers and matmul accumulators — the eventful state machine.
+
+Functional re-design of eventful_transformer/modules.py. The reference keeps
+mutable per-module tensors (``self.p``, ``self.b``, ``self.product``) with
+documented aliasing hazards (modules.py:70-72,125-127,189-193). Here every
+piece of temporal state is an explicit pytree entry returned from
+``flush``/``incremental``; aliasing is impossible by construction and the
+per-frame loop compiles to a single ``lax.scan``.
+
+The reference's per-module ``first`` flags (modules.py:73-76 pattern) are
+hoisted to one flush/incremental branch per *block* (see core/blocks.py):
+all gates of a block reset together (base.py:130), so the branch structures
+are identical.
+
+Selection indices come from core/policies.py as fixed-capacity
+``(index, mask)`` pairs; a ``None`` mask means all slots valid.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.core.indexing import (
+    mask_cols,
+    mask_rows,
+    put_cols,
+    put_rows,
+    take_cols,
+    take_rows,
+    valid_fraction,
+)
+from eventful_transformer_tpu.core.nn import counted_matmul
+
+
+class TokenGate:
+    """Reference-state token gate (reference modules.py:104-168).
+
+    ``structure`` selects the token axis: "row" (= axis -2, norm over -1) or
+    "col" (= axis -1, norm over -2).
+    """
+
+    def __init__(self, structure="row"):
+        assert structure in ("row", "col")
+        self.structure = structure
+        self.policy = None  # injected via utils.misc.set_policies equivalent
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"p": jnp.zeros(shape, dtype)}
+
+    def flush(self, state, c):
+        """First time step: pass everything through, store reference."""
+        return c, {"p": c}
+
+    def _select(self, e, forced_index, forced_mask):
+        if forced_index is not None:
+            return forced_index, forced_mask
+        norm_axis = -1 if self.structure == "row" else -2
+        return self.policy.select(e, norm_axis)
+
+    def incremental(self, ctx: Ctx, state, c, forced_index=None, forced_mask=None):
+        """Returns (c_tilde, index, mask, state)."""
+        ctx.add("gate_flops", c.size)
+        p = state["p"]
+        index, mask = self._select(c - p, forced_index, forced_mask)
+        if self.structure == "row":
+            c_tilde = take_rows(c, index)
+            p = put_rows(p, index, c_tilde, mask)
+        else:
+            c_tilde = take_cols(c, index)
+            p = put_cols(p, index, c_tilde, mask)
+        return c_tilde, index, mask, {"p": p}
+
+
+class TokenDeltaGate(TokenGate):
+    """Token gate that also emits the error deltas ``e_tilde``
+    (reference modules.py:171-201). Invalid slots have their deltas zeroed so
+    downstream delta-accumulation contributes nothing for them."""
+
+    def incremental(self, ctx: Ctx, state, c, forced_index=None, forced_mask=None):
+        """Returns (c_tilde, e_tilde, index, mask, state)."""
+        ctx.add("gate_flops", c.size)
+        p = state["p"]
+        e = c - p
+        index, mask = self._select(e, forced_index, forced_mask)
+        if self.structure == "row":
+            c_tilde = take_rows(c, index)
+            e_tilde = take_rows(e, index)
+            if mask is not None:
+                e_tilde = mask_rows(e_tilde, mask)
+            p = put_rows(p, index, c_tilde, mask)
+        else:
+            c_tilde = take_cols(c, index)
+            e_tilde = take_cols(e, index)
+            if mask is not None:
+                e_tilde = mask_cols(e_tilde, mask)
+            p = put_cols(p, index, c_tilde, mask)
+        return c_tilde, e_tilde, index, mask, {"p": p}
+
+
+class SimpleSTGTGate(TokenGate):
+    """Baseline gate from "Spatio-Temporal Gated Transformers": the reference
+    state is overwritten with the FULL current input each step, so errors are
+    measured vs. the previous frame rather than the last-updated value
+    (reference modules.py:6-49). Row structure only."""
+
+    def __init__(self, structure="row"):
+        assert structure == "row"
+        super().__init__(structure)
+
+    def incremental(self, ctx: Ctx, state, c, forced_index=None, forced_mask=None):
+        ctx.add("gate_flops", c.size)
+        index, mask = self._select(c - state["p"], forced_index, forced_mask)
+        c_tilde = take_rows(c, index)
+        return c_tilde, index, mask, {"p": c}
+
+
+class TokenBuffer:
+    """Persistent token state (reference modules.py:52-101)."""
+
+    def __init__(self, structure="row"):
+        assert structure in ("row", "col")
+        self.structure = structure
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"b": jnp.zeros(shape, dtype)}
+
+    def flush(self, state, x):
+        return x, {"b": x}
+
+    def incremental(self, state, x, index, mask=None):
+        put = put_rows if self.structure == "row" else put_cols
+        b = put(state["b"], index, x, mask)
+        return b, {"b": b}
+
+
+class MatmulBuffer:
+    """Incrementally-updated q·kᵀ product (reference modules.py:204-252).
+
+    Steady-state cost is O(N·k·d) instead of O(N²·d): recompute the updated
+    rows (q_tilde @ k) and the updated cols (q @ k_tilde) and scatter them
+    into the cached product.
+    """
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"product": jnp.zeros(shape, dtype)}
+
+    def flush(self, ctx: Ctx, state, q, k):
+        product = counted_matmul(ctx, q, k)
+        return product, {"product": product}
+
+    def incremental(self, ctx: Ctx, state, q, k, index_q, index_k, mask_q=None, mask_k=None):
+        product = state["product"]
+        q_tilde = take_rows(q, index_q)
+        rows = counted_matmul(ctx, q_tilde, k, valid_frac=valid_fraction(mask_q))
+        product = put_rows(product, index_q, rows, mask_q)
+        k_tilde = take_cols(k, index_k)
+        cols = counted_matmul(ctx, q, k_tilde, valid_frac=valid_fraction(mask_k))
+        product = put_cols(product, index_k, cols, mask_k)
+        return product, {"product": product}
+
+
+class MatmulDeltaAccumulator:
+    """Incrementally-updated A·V product (reference modules.py:255-299):
+
+        product += a_n_tilde @ v_delta_tilde
+        product += a_delta_tilde @ (v_n_tilde - v_delta_tilde)
+
+    Invalid capacity slots must arrive with zeroed deltas (TokenDeltaGate
+    guarantees this), making their contribution exactly zero.
+    """
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"product": jnp.zeros(shape, dtype)}
+
+    def flush(self, ctx: Ctx, state, a, v):
+        product = counted_matmul(ctx, a, v)
+        return product, {"product": product}
+
+    def incremental(
+        self, ctx: Ctx, state, a_n_tilde, v_n_tilde, a_delta_tilde, v_delta_tilde, mask=None
+    ):
+        product = state["product"]
+        frac = valid_fraction(mask)
+        ctx.add("accumulator_flops", frac * v_n_tilde.size + 2 * product.size)
+        product = product + counted_matmul(ctx, a_n_tilde, v_delta_tilde, valid_frac=frac)
+        product = product + counted_matmul(
+            ctx, a_delta_tilde, v_n_tilde - v_delta_tilde, valid_frac=frac
+        )
+        return product, {"product": product}
