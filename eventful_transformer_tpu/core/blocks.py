@@ -1,0 +1,669 @@
+"""Transformer blocks: dense and eventful variants.
+
+Re-design of eventful_transformer/blocks.py for TPU/XLA:
+
+  * Temporal state is an explicit pytree threaded through ``apply``; the
+    reference's six per-module ``first`` flags per block collapse into ONE
+    ``lax.cond`` per block (all submodules reset together, base.py:130, so
+    flush/incremental structure is identical).
+  * All shapes are static. Variable-k selection (threshold policies,
+    pooled-index dedup via ``.unique()``, blocks.py:539) becomes fixed
+    capacity + validity mask; FLOP counts are mask-scaled so reported numbers
+    match the reference's variable-k accounting.
+  * Windows ride the batch axis (as in the reference, blocks.py:290-299) —
+    batched MXU matmuls, no per-window loops.
+  * ATS index stabilization (blocks.py:378-391, a CPU loop in the reference)
+    is reformulated as a vectorized static-shape merge.
+
+Block classes (matching reference names so configs select them by string,
+backbones.py:58):
+  Block                   — dense pre-LN ViT block (blocks.py:26-396)
+  EventfulTokenwiseBlock  — gates token-wise ops (blocks.py:399-463)
+  EventfulMatmul1Block    — + incremental q·kᵀ (blocks.py:466-540)
+  EventfulBlock           — + delta-based A·V (blocks.py:543-575)
+"""
+
+from __future__ import annotations
+
+from math import prod, sqrt
+
+import jax
+import jax.numpy as jnp
+
+from eventful_transformer_tpu.core import counting
+from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.core.embeddings import RelativePositionEmbedding
+from eventful_transformer_tpu.core.gating import (
+    MatmulBuffer,
+    MatmulDeltaAccumulator,
+    SimpleSTGTGate,
+    TokenBuffer,
+    TokenDeltaGate,
+    TokenGate,
+)
+from eventful_transformer_tpu.core.indexing import take_rows, valid_fraction
+from eventful_transformer_tpu.core.nn import (
+    DropPath,
+    Linear,
+    Module,
+    counted_add,
+    counted_matmul,
+    gelu,
+    layer_norm,
+    numeric_tuple,
+)
+
+LN_EPS = 1e-6  # reference blocks.py:23
+
+_CAST_DTYPES = {"float16": jnp.float16, "bfloat16": jnp.bfloat16}
+
+
+class Block(Module):
+    """Dense pre-LN Transformer block with windowed attention, self-attention
+    pooling, relative position embeddings, ATS and matmul-2 casting
+    (reference blocks.py:26-396)."""
+
+    def __init__(
+        self,
+        dim,
+        heads,
+        input_size,
+        mlp_ratio,
+        ats_fraction=None,
+        drop_path_rate=0.0,
+        relative_embedding_size=None,
+        matmul_2_cast=None,
+        pool_size=None,
+        window_size=None,
+    ):
+        self.dim = dim
+        self.heads = heads
+        self.input_size = tuple(input_size)
+        self.mlp_ratio = mlp_ratio
+        if ats_fraction is not None:
+            assert pool_size is None and window_size is None
+            assert 0.0 <= ats_fraction <= 1.0
+        assert 0.0 <= drop_path_rate <= 1.0
+        assert matmul_2_cast in (None, "float16", "bfloat16")
+        self.ats_fraction = ats_fraction
+        self.matmul_2_cast = matmul_2_cast
+        self.pool_size = None if pool_size is None else numeric_tuple(pool_size, 2)
+        if window_size is None:
+            self.window_size = None
+            attention_size = self.input_size
+        else:
+            self.window_size = numeric_tuple(window_size, 2)
+            attention_size = self.window_size
+            if relative_embedding_size is not None:
+                relative_embedding_size = self.window_size
+        self.scale = sqrt(dim // heads)
+
+        self.qkv = Linear(dim, dim * 3)
+        self.projection = Linear(dim, dim)
+        self.mlp_1 = Linear(dim, dim * mlp_ratio)
+        self.mlp_2 = Linear(dim * mlp_ratio, dim)
+        self.drop_path = DropPath(drop_path_rate)
+        if relative_embedding_size is not None:
+            self.relative_position = RelativePositionEmbedding(
+                attention_size,
+                relative_embedding_size,
+                dim // heads,
+                pool_size=self.pool_size,
+            )
+        else:
+            self.relative_position = None
+
+    # -- parameter / state construction ------------------------------------
+
+    def init(self, key):
+        modules = {
+            "qkv": self.qkv,
+            "projection": self.projection,
+            "mlp_1": self.mlp_1,
+            "mlp_2": self.mlp_2,
+        }
+        if self.relative_position is not None:
+            modules["relative_position"] = self.relative_position
+        params = self.sub_init(key, modules)
+        params["input_layer_norm"] = {
+            "scale": jnp.ones((self.dim,)),
+            "bias": jnp.zeros((self.dim,)),
+        }
+        params["mlp_layer_norm"] = {
+            "scale": jnp.ones((self.dim,)),
+            "bias": jnp.zeros((self.dim,)),
+        }
+        return params
+
+    def n_select(self, n_tokens):
+        """ATS output token count (+1 for the class token, blocks.py:165)."""
+        return int(self.ats_fraction * (n_tokens - 1)) + 1
+
+    def out_tokens(self, n_tokens):
+        return n_tokens if self.ats_fraction is None else self.n_select(n_tokens)
+
+    def init_state(self, batch, n_tokens, dtype=jnp.float32):
+        if self.ats_fraction is None:
+            return {}
+        ns = self.n_select(n_tokens)
+        return {
+            "ats_last": jnp.zeros((batch, ns), jnp.int32),
+            "ats_has_last": jnp.zeros((), bool),
+        }
+
+    def precompute(self, params):
+        """Derived quantities hoisted out of the frame scan (the functional
+        analog of the reference's cached y_relative/x_relative)."""
+        if self.relative_position is None:
+            return {}
+        return {"relative": self.relative_position.precompute(params["relative_position"])}
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(self, ctx: Ctx, params, state, x, aux=None):
+        skip_1 = x
+        x = layer_norm(x, params["input_layer_norm"], LN_EPS)
+        x = self.qkv.apply(ctx, params["qkv"], x)
+        x, ats_indices, state = self._forward_attention(ctx, params, state, x, aux)
+        skip_1 = self._gather_ats_skip(skip_1, ats_indices)
+        x = self.projection.apply(ctx, params["projection"], x)
+        x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
+        skip_2 = x
+        x = layer_norm(x, params["mlp_layer_norm"], LN_EPS)
+        x = self._forward_mlp(ctx, params, x)
+        x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_2)
+        return x, state
+
+    def _forward_attention(self, ctx, params, state, x, aux):
+        x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
+        q, k, v = self._partition_heads(x)
+        k = self._pool_tokens(k)
+        v = self._pool_tokens(v)
+        # Scale q, not the (much larger) product (reference blocks.py:220-223).
+        a = counted_matmul(ctx, q / self.scale, jnp.swapaxes(k, -2, -1))
+        if self.relative_position is not None:
+            derived = aux.get("relative") if aux else None
+            a = self.relative_position.apply(
+                ctx, params["relative_position"], a, q, derived=derived
+            )
+        a = jax.nn.softmax(a, axis=-1)
+        a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        x = counted_matmul(ctx, a, v)
+        x = self._recombine_heads(x)
+        x = self._recombine_windows(x)
+        x = self._uncast_matmul_2(x, old_dtype)
+        return x, ats_indices, state
+
+    def _forward_mlp(self, ctx, params, x, valid_frac=1):
+        x = self.mlp_1.apply(ctx, params["mlp_1"], x, valid_frac)
+        x = gelu(x)
+        x = self.mlp_2.apply(ctx, params["mlp_2"], x, valid_frac)
+        return x
+
+    # -- heads / windows / pooling -------------------------------------------
+
+    def _partition_heads(self, x):
+        b, n = x.shape[:2]
+        x = x.reshape(b, n, 3, self.heads, x.shape[-1] // (3 * self.heads))
+        q, k, v = jnp.transpose(x, (2, 0, 3, 1, 4))
+        return q, k, v
+
+    @staticmethod
+    def _recombine_heads(x):
+        b, h, n, c = x.shape
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, n, h * c)
+
+    def _compute_window_padding(self):
+        pad_h = -self.input_size[0] % self.window_size[0]
+        pad_w = -self.input_size[1] % self.window_size[1]
+        return pad_h, pad_w
+
+    def _partition_windows(self, ctx, params, x, in_qkv_domain):
+        if self.window_size is None:
+            return x
+        p = self._compute_window_padding()
+        d = self.window_size
+        b, _, c = x.shape
+        h, w = self.input_size
+        x = x.reshape(b, h, w, c)
+        if any(p):
+            # Padded tokens must equal qkv(0) = qkv bias when x is already in
+            # the QKV domain (reference blocks.py:269-287).
+            pad_vec = jnp.zeros((1, 1, 1, c), x.dtype)
+            if in_qkv_domain:
+                pad_vec = self.qkv.apply_bias(ctx, params["qkv"], pad_vec)
+            padded = jnp.broadcast_to(pad_vec, (b, h + p[0], w + p[1], c))
+            x = padded.at[:, :h, :w].set(x)
+            h, w = h + p[0], w + p[1]
+        x = x.reshape(b, h // d[0], d[0], w // d[1], d[1], c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(-1, d[0] * d[1], c)
+
+    def _recombine_windows(self, x):
+        if self.window_size is None:
+            return x
+        p = self._compute_window_padding()
+        d = self.window_size
+        s = self.input_size
+        total_h, total_w = p[0] + s[0], p[1] + s[1]
+        c = x.shape[-1]
+        x = x.reshape(-1, total_h // d[0], total_w // d[1], d[0], d[1], c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        x = x.reshape(-1, total_h, total_w, c)
+        if any(p):
+            x = x[:, : s[0], : s[1]]
+        return x.reshape(x.shape[0], s[0] * s[1], c)
+
+    def _pool_tokens(self, x):
+        if self.pool_size is None:
+            return x
+        w = self.input_size if self.window_size is None else self.window_size
+        b, h, _, c = x.shape
+        ph, pw = self.pool_size
+        y = x.reshape(-1, w[0] // ph, ph, w[1] // pw, pw, c).mean(axis=(2, 4))
+        return y.reshape(b, h, -1, c)
+
+    # -- ATS ------------------------------------------------------------------
+
+    def _adaptive_token_sampling(self, state, a, v):
+        """Top-k ATS (Fayyaz et al. 2022) with sorted-index stabilization
+        (reference blocks.py:150-181). Returns (a_gathered, indices, state)."""
+        if self.ats_fraction is None:
+            return a, None, state
+        class_scores = a[..., 0]
+        raw_scores = class_scores * jnp.linalg.norm(v, axis=-1)
+        scores = raw_scores / jnp.sum(raw_scores[..., 1:], axis=-1, keepdims=True)
+        scores = scores.at[..., 0].set(jnp.inf)  # always keep the class token
+        scores = scores.sum(axis=-3)  # sum over heads -> (batch, tokens)
+        n_select = self.n_select(scores.shape[-1])
+        _, ats_indices = jax.lax.top_k(scores, n_select)
+        ats_indices = jnp.sort(ats_indices.astype(jnp.int32), axis=-1)
+        ats_indices = jax.lax.cond(
+            state["ats_has_last"],
+            lambda new: _stabilize_ats_indices(state["ats_last"], new),
+            lambda new: new,
+            ats_indices,
+        )
+        state = dict(state)
+        state["ats_last"] = ats_indices
+        state["ats_has_last"] = jnp.ones((), bool)
+        return take_rows(a, ats_indices), ats_indices, state
+
+    @staticmethod
+    def _gather_ats_skip(skip_1, ats_indices):
+        if ats_indices is None:
+            return skip_1
+        return take_rows(skip_1, ats_indices)
+
+    # -- matmul-2 casting -----------------------------------------------------
+
+    def _cast_matmul_2(self, x, v):
+        if self.matmul_2_cast is None:
+            return x, v, None
+        dtype = _CAST_DTYPES[self.matmul_2_cast]
+        return x.astype(dtype), v.astype(dtype), x.dtype
+
+    def _uncast_matmul_2(self, x, old_dtype):
+        if old_dtype is None:
+            return x
+        return x.astype(old_dtype)
+
+
+def _stabilize_ats_indices(last, new):
+    """Vectorized equivalent of the reference's stabilization loop
+    (blocks.py:378-391): keep old indices that are still selected; fill the
+    vacated slots with the newly-selected indices, in order."""
+
+    def one(old, new_sorted):
+        old_sorted = jnp.sort(old)
+        old_in_new = _is_member(old, new_sorted)
+        new_in_old = _is_member(new_sorted, old_sorted)
+        old_not_in_new = ~old_in_new
+        new_not_in_old = ~new_in_old
+        # Compact the new-not-in-old values to the front, preserving order.
+        order = jnp.argsort(jnp.where(new_not_in_old, 0, 1), stable=True)
+        fill_values = new_sorted[order]
+        rank = jnp.cumsum(old_not_in_new) - 1
+        fills = fill_values[jnp.clip(rank, 0, fill_values.shape[0] - 1)]
+        return jnp.where(old_not_in_new, fills, old)
+
+    flat_last = last.reshape(-1, last.shape[-1])
+    flat_new = new.reshape(-1, new.shape[-1])
+    out = jax.vmap(one)(flat_last, flat_new)
+    return out.reshape(new.shape)
+
+
+def _is_member(values, sorted_ref):
+    pos = jnp.clip(
+        jnp.searchsorted(sorted_ref, values, side="left"), 0, sorted_ref.shape[0] - 1
+    )
+    return sorted_ref[pos] == values
+
+
+class EventfulTokenwiseBlock(Block):
+    """Gates the token-wise operations: three gate→op→buffer groups around
+    qkv, projection and MLP (reference blocks.py:399-463). Attention itself
+    runs dense on the full buffer."""
+
+    def __init__(self, gate_before_ln=False, stgt=False, **super_kwargs):
+        super().__init__(**super_kwargs)
+        self.gate_before_ln = gate_before_ln
+        self.stgt = stgt
+        gate_class = SimpleSTGTGate if stgt else TokenGate
+        self.qkv_gate = gate_class()
+        self.qkv_accumulator = TokenBuffer()
+        self.projection_gate = gate_class()
+        self.projection_accumulator = TokenBuffer()
+        self.mlp_gate = gate_class()
+        self.mlp_accumulator = TokenBuffer()
+
+    @property
+    def gates(self):
+        return [self.qkv_gate, self.projection_gate, self.mlp_gate]
+
+    def init_state(self, batch, n_tokens, dtype=jnp.float32):
+        state = super().init_state(batch, n_tokens, dtype)
+        n_out = self.out_tokens(n_tokens)
+        state.update(
+            first=jnp.ones((), bool),
+            qkv_gate=self.qkv_gate.init_state((batch, n_tokens, self.dim), dtype),
+            qkv_accumulator=self.qkv_accumulator.init_state(
+                (batch, n_tokens, 3 * self.dim), dtype
+            ),
+            projection_gate=self.projection_gate.init_state((batch, n_out, self.dim), dtype),
+            projection_accumulator=self.projection_accumulator.init_state(
+                (batch, n_out, self.dim), dtype
+            ),
+            mlp_gate=self.mlp_gate.init_state((batch, n_out, self.dim), dtype),
+            mlp_accumulator=self.mlp_accumulator.init_state((batch, n_out, self.dim), dtype),
+        )
+        return state
+
+    def apply(self, ctx: Ctx, params, state, x, aux=None):
+        return counting.cond(
+            state["first"], self._apply_flush, self._apply_incremental,
+            (params, state, x, aux), ctx,
+        )
+
+    # -- flush path: dense compute, buffers initialized ----------------------
+
+    def _apply_flush(self, ctx, params, state, x, aux):
+        state = dict(state)
+        state["first"] = jnp.zeros((), bool)
+        skip_1 = x
+        if self.gate_before_ln:
+            _, state["qkv_gate"] = self.qkv_gate.flush(state["qkv_gate"], x)
+            x = layer_norm(x, params["input_layer_norm"], LN_EPS)
+        else:
+            x = layer_norm(x, params["input_layer_norm"], LN_EPS)
+            _, state["qkv_gate"] = self.qkv_gate.flush(state["qkv_gate"], x)
+        x = self.qkv.apply(ctx, params["qkv"], x)
+        x, state["qkv_accumulator"] = self.qkv_accumulator.flush(state["qkv_accumulator"], x)
+        x, ats_indices, state = self._attention_flush(ctx, params, state, x, aux)
+        skip_1 = self._gather_ats_skip(skip_1, ats_indices)
+        x = self._post_attention(ctx, params, state, x, skip_1, flush=True)
+        return x, state
+
+    def _attention_flush(self, ctx, params, state, x, aux):
+        return self._forward_attention(ctx, params, state, x, aux)
+
+    # -- incremental path ------------------------------------------------------
+
+    def _apply_incremental(self, ctx, params, state, x, aux):
+        state = dict(state)
+        skip_1 = x
+        x_t, index, mask, state["qkv_gate"] = self._gate_ln(
+            ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
+        )
+        x_t = self.qkv.apply(ctx, params["qkv"], x_t, valid_frac=valid_fraction(mask))
+        x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
+            state["qkv_accumulator"], x_t, index, mask
+        )
+        x, ats_indices, state = self._attention_incremental(
+            ctx, params, state, x, index, mask, aux
+        )
+        skip_1 = self._gather_ats_skip(skip_1, ats_indices)
+        x = self._post_attention(ctx, params, state, x, skip_1, flush=False)
+        return x, state
+
+    def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
+        return self._forward_attention(ctx, params, state, x, aux)
+
+    def _gate_ln(self, ctx, ln_params, gate, gate_state, x):
+        """Gate placement around layer norm (reference blocks.py:440-461)."""
+        if self.gate_before_ln:
+            x_t, index, mask, gate_state = gate.incremental(ctx, gate_state, x)
+            x_t = layer_norm(x_t, ln_params, LN_EPS)
+        else:
+            x = layer_norm(x, ln_params, LN_EPS)
+            x_t, index, mask, gate_state = gate.incremental(ctx, gate_state, x)
+        return x_t, index, mask, gate_state
+
+    def _post_attention(self, ctx, params, state, x, skip_1, flush):
+        """Projection and MLP gate→op→buffer groups
+        (reference blocks.py:430-450)."""
+        if flush:
+            _, state["projection_gate"] = self.projection_gate.flush(
+                state["projection_gate"], x
+            )
+            x = self.projection.apply(ctx, params["projection"], x)
+            x, state["projection_accumulator"] = self.projection_accumulator.flush(
+                state["projection_accumulator"], x
+            )
+        else:
+            x_t, index, mask, state["projection_gate"] = self.projection_gate.incremental(
+                ctx, state["projection_gate"], x
+            )
+            x_t = self.projection.apply(
+                ctx, params["projection"], x_t, valid_frac=valid_fraction(mask)
+            )
+            x, state["projection_accumulator"] = self.projection_accumulator.incremental(
+                state["projection_accumulator"], x_t, index, mask
+            )
+        x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
+        skip_2 = x
+        if flush:
+            if self.gate_before_ln:
+                _, state["mlp_gate"] = self.mlp_gate.flush(state["mlp_gate"], x)
+                x = layer_norm(x, params["mlp_layer_norm"], LN_EPS)
+            else:
+                x = layer_norm(x, params["mlp_layer_norm"], LN_EPS)
+                _, state["mlp_gate"] = self.mlp_gate.flush(state["mlp_gate"], x)
+            x = self._forward_mlp(ctx, params, x)
+            x, state["mlp_accumulator"] = self.mlp_accumulator.flush(
+                state["mlp_accumulator"], x
+            )
+        else:
+            x_t, index, mask, state["mlp_gate"] = self._gate_ln(
+                ctx, params["mlp_layer_norm"], self.mlp_gate, state["mlp_gate"], x
+            )
+            x_t = self._forward_mlp(ctx, params, x_t, valid_frac=valid_fraction(mask))
+            x, state["mlp_accumulator"] = self.mlp_accumulator.incremental(
+                state["mlp_accumulator"], x_t, index, mask
+            )
+        x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_2)
+        return x
+
+
+class EventfulMatmul1Block(EventfulTokenwiseBlock):
+    """Adds eventfulness to the query-key product via an incrementally
+    updated MatmulBuffer (reference blocks.py:466-540). Non-windowed only."""
+
+    def __init__(self, **super_kwargs):
+        super().__init__(**super_kwargs)
+        if self.pool_size is not None:
+            assert all(s % p == 0 for s, p in zip(self.input_size, self.pool_size))
+        assert self.window_size is None
+        self.matmul_accumulator_1 = MatmulBuffer()
+
+    def _pooled_tokens(self, n_tokens):
+        if self.pool_size is None:
+            return n_tokens
+        extra = n_tokens - prod(self.input_size)  # class tokens, if any
+        return extra + prod(
+            s // p for s, p in zip(self.input_size, self.pool_size)
+        )
+
+    def init_state(self, batch, n_tokens, dtype=jnp.float32):
+        state = super().init_state(batch, n_tokens, dtype)
+        n_p = self._pooled_tokens(n_tokens)
+        state["matmul_accumulator_1"] = self.matmul_accumulator_1.init_state(
+            (batch, self.heads, n_tokens, n_p), dtype
+        )
+        return state
+
+    def _attention_flush(self, ctx, params, state, x, aux):
+        a, v, state, _, _ = self._forward_matmul_1_flush(ctx, params, state, x, aux)
+        a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        x = counted_matmul(ctx, a, v)
+        x = self._recombine_heads(x)
+        x = self._uncast_matmul_2(x, old_dtype)
+        return x, ats_indices, state
+
+    def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
+        a, v, state, _, _ = self._forward_matmul_1_incremental(
+            ctx, params, state, x, index, mask, aux
+        )
+        a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        x = counted_matmul(ctx, a, v)
+        x = self._recombine_heads(x)
+        x = self._uncast_matmul_2(x, old_dtype)
+        return x, ats_indices, state
+
+    def _forward_matmul_1_flush(self, ctx, params, state, x, aux):
+        q, k, v = self._partition_heads(x)
+        k = self._pool_tokens(k)
+        v = self._pool_tokens(v)
+        a, state["matmul_accumulator_1"] = self.matmul_accumulator_1.flush(
+            ctx, state["matmul_accumulator_1"], q / self.scale, jnp.swapaxes(k, -2, -1)
+        )
+        a = self._matmul_1_post(ctx, params, a, q, aux)
+        return a, v, state, None, None
+
+    def _forward_matmul_1_incremental(self, ctx, params, state, x, index, mask, aux):
+        q, k, v = self._partition_heads(x)
+        k = self._pool_tokens(k)
+        v = self._pool_tokens(v)
+        index_k, mask_k = self._pool_index(index, mask)
+        a, state["matmul_accumulator_1"] = self.matmul_accumulator_1.incremental(
+            ctx,
+            state["matmul_accumulator_1"],
+            q / self.scale,
+            jnp.swapaxes(k, -2, -1),
+            index,
+            index_k,
+            mask,
+            mask_k,
+        )
+        a = self._matmul_1_post(ctx, params, a, q, aux)
+        return a, v, state, index_k, mask_k
+
+    def _matmul_1_post(self, ctx, params, a, q, aux):
+        if self.relative_position is not None:
+            derived = aux.get("relative") if aux else None
+            a = self.relative_position.apply(
+                ctx, params["relative_position"], a, q, derived=derived
+            )
+        return jax.nn.softmax(a, axis=-1)
+
+    def _pool_index(self, index, mask):
+        """Map token indices to pooled-grid indices, deduplicating like the
+        reference's ``.unique()`` (blocks.py:525-540) via sort + run-length
+        masking (static shapes)."""
+        if self.pool_size is None or index is None:
+            return index, mask
+        width = self.input_size[1]
+        index_y = index // width
+        index_x = index % width
+        index_y = index_y // self.pool_size[0]
+        index_x = index_x // self.pool_size[1]
+        pooled = index_y * (width // self.pool_size[1]) + index_x
+        big = jnp.iinfo(jnp.int32).max
+        key = pooled if mask is None else jnp.where(mask, pooled, big)
+        s = jnp.sort(key, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(s[..., :1], bool), s[..., 1:] == s[..., :-1]], axis=-1
+        )
+        new_mask = ~dup & (s != big)
+        return jnp.where(new_mask, s, 0).astype(jnp.int32), new_mask
+
+
+class EventfulBlock(EventfulMatmul1Block):
+    """Adds eventfulness to the attention-value product via delta
+    accumulation (reference blocks.py:543-575)."""
+
+    def __init__(self, **super_kwargs):
+        super().__init__(**super_kwargs)
+        self.v_gate = TokenDeltaGate()
+        self.matmul_gate = TokenDeltaGate(structure="col")
+        self.matmul_accumulator_2 = MatmulDeltaAccumulator()
+
+    def init_state(self, batch, n_tokens, dtype=jnp.float32):
+        state = super().init_state(batch, n_tokens, dtype)
+        n_p = self._pooled_tokens(n_tokens)
+        n_a = self.out_tokens(n_tokens)
+        head_dim = self.dim // self.heads
+        sdtype = _CAST_DTYPES.get(self.matmul_2_cast, dtype)
+        state["v_gate"] = self.v_gate.init_state(
+            (batch, self.heads, n_p, head_dim), sdtype
+        )
+        state["matmul_gate"] = self.matmul_gate.init_state(
+            (batch, self.heads, n_a, n_p), sdtype
+        )
+        state["matmul_accumulator_2"] = self.matmul_accumulator_2.init_state(
+            (batch, self.heads, n_a, head_dim), sdtype
+        )
+        return state
+
+    def _attention_flush(self, ctx, params, state, x, aux):
+        a, v, state, _, _ = self._forward_matmul_1_flush(ctx, params, state, x, aux)
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
+        _, state["v_gate"] = self.v_gate.flush(state["v_gate"], v)
+        _, state["matmul_gate"] = self.matmul_gate.flush(state["matmul_gate"], a)
+        x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.flush(
+            ctx, state["matmul_accumulator_2"], a, v
+        )
+        x = self._recombine_heads(x)
+        x = self._uncast_matmul_2(x, old_dtype)
+        return x, ats_indices, state
+
+    def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
+        a, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
+            ctx, params, state, x, index, mask, aux
+        )
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
+        v_n_tilde, v_delta_tilde, index_v, mask_v, state["v_gate"] = (
+            self.v_gate.incremental(
+                ctx, state["v_gate"], v, forced_index=index_k, forced_mask=mask_k
+            )
+        )
+        a_n_tilde, a_delta_tilde, _, _, state["matmul_gate"] = (
+            self.matmul_gate.incremental(
+                ctx, state["matmul_gate"], a, forced_index=index_v, forced_mask=mask_v
+            )
+        )
+        x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.incremental(
+            ctx,
+            state["matmul_accumulator_2"],
+            a_n_tilde,
+            v_n_tilde,
+            a_delta_tilde,
+            v_delta_tilde,
+            mask=mask_v,
+        )
+        x = self._recombine_heads(x)
+        x = self._uncast_matmul_2(x, old_dtype)
+        return x, ats_indices, state
+
+
+BLOCK_CLASSES = {
+    "Block": Block,
+    "EventfulTokenwiseBlock": EventfulTokenwiseBlock,
+    "EventfulMatmul1Block": EventfulMatmul1Block,
+    "EventfulBlock": EventfulBlock,
+}

@@ -1,0 +1,125 @@
+"""Position encodings (reference eventful_transformer/utils.py:32-195).
+
+Both modules have a cheap derived quantity the reference caches on the module
+(``cached_encoding``, ``y_relative``/``x_relative``, utils.py:55-63,151-156).
+Here the equivalent is :meth:`precompute`, run once per model invocation
+*outside* the frame scan so the work is hoisted out of the hot loop instead
+of re-executed per frame.
+"""
+
+from __future__ import annotations
+
+from math import prod
+
+import jax.numpy as jnp
+
+from eventful_transformer_tpu.core.nn import Module, counted_add, counted_einsum, trunc_normal
+from eventful_transformer_tpu.ops.resize import avg_pool_1d, resize_bicubic, resize_bicubic_1d
+
+
+class PositionEncoding(Module):
+    """Learned absolute position encoding, bicubic-resized from
+    ``encoding_size`` to ``input_size`` with a class-token carve-out
+    (reference utils.py:32-105). The interpolation is deliberately not
+    counted (utils.py:86-88)."""
+
+    def __init__(self, dim, encoding_size, input_size, has_class_token):
+        self.dim = dim
+        self.encoding_size = tuple(encoding_size)
+        self.input_size = tuple(input_size)
+        self.has_class_token = has_class_token
+        self.tokens = prod(self.encoding_size) + int(has_class_token)
+
+    def init(self, key):
+        return {"encoding": trunc_normal(key, (1, self.tokens, self.dim))}
+
+    def precompute(self, params):
+        """Resize the stored encoding to the input token grid."""
+        encoding = params["encoding"]
+        if self.input_size == self.encoding_size:
+            return encoding
+        if self.has_class_token:
+            class_token, encoding = encoding[:, :1], encoding[:, 1:]
+        else:
+            class_token = None
+        # (1, tokens, dim) -> (1, dim) + encoding_size
+        encoding = jnp.swapaxes(encoding, 1, 2)
+        encoding = encoding.reshape(encoding.shape[:-1] + self.encoding_size)
+        if len(self.encoding_size) == 2:
+            encoding = resize_bicubic(encoding, self.input_size)
+        else:  # 1-D (temporal) encodings
+            encoding = resize_bicubic_1d(encoding, self.input_size[0])
+        encoding = encoding.reshape(encoding.shape[:2] + (-1,))
+        encoding = jnp.swapaxes(encoding, 1, 2)
+        if class_token is not None:
+            encoding = jnp.concatenate([class_token, encoding], axis=1)
+        return encoding
+
+    def apply(self, ctx, params, x, sized_encoding=None):
+        if sized_encoding is None:
+            sized_encoding = self.precompute(params)
+        return counted_add(ctx, x, sized_encoding.astype(x.dtype))
+
+
+class RelativePositionEmbedding(Module):
+    """Decomposed relative position embeddings, ViTDet-style
+    (reference utils.py:108-195, after detectron2's add_decomposed_rel_pos)."""
+
+    def __init__(self, attention_size, embedding_size, head_dim, pool_size=None):
+        self.attention_size = tuple(attention_size)
+        self.embedding_size = tuple(embedding_size)
+        self.head_dim = head_dim
+        self.pool_size = tuple(pool_size) if pool_size is not None else None
+
+    def init(self, key):
+        return {
+            "y_embedding": jnp.zeros((2 * self.embedding_size[0] - 1, self.head_dim)),
+            "x_embedding": jnp.zeros((2 * self.embedding_size[1] - 1, self.head_dim)),
+        }
+
+    def _get_relative(self, embedding, dim):
+        """Build the (attention, pooled, head_dim) relative table for an axis
+        (reference utils.py:175-189)."""
+        size = self.embedding_size[dim]
+        r0 = jnp.arange(size)[:, None]
+        r1 = jnp.arange(size)[None, :]
+        relative = embedding[r0 - r1 + size - 1]  # (S, S, c)
+        if self.embedding_size != self.attention_size:
+            # (S, S, c) -> (c, S, S) -> resize -> back, exactly as reference
+            relative = jnp.transpose(relative, (2, 1, 0))[None]
+            relative = resize_bicubic(relative, self.attention_size)
+            relative = jnp.transpose(relative[0], (2, 1, 0))
+        if self.pool_size is not None:
+            relative = jnp.swapaxes(relative, 1, 2)
+            relative = avg_pool_1d(relative, self.pool_size[dim])
+            relative = jnp.swapaxes(relative, 1, 2)
+        return relative
+
+    def precompute(self, params):
+        return {
+            "y_relative": self._get_relative(params["y_embedding"], dim=0),
+            "x_relative": self._get_relative(params["x_embedding"], dim=1),
+        }
+
+    def apply(self, ctx, params, x, q, derived=None):
+        """Add decomposed relative position terms to attention logits x
+        (reference utils.py:139-171). x: (batch, heads, N, Np); q: (batch,
+        heads, N, c)."""
+        if derived is None:
+            derived = self.precompute(params)
+        a = self.attention_size
+        if self.pool_size is None:
+            p = a
+        else:
+            p = (a[0] // self.pool_size[0], a[1] // self.pool_size[1])
+        dtype = x.dtype
+        x = x.reshape(x.shape[:2] + a + p)
+        q = q.reshape(q.shape[:2] + a + q.shape[-1:])
+        c = q.shape[-1]
+        y_rel = derived["y_relative"].astype(dtype)
+        x_rel = derived["x_relative"].astype(dtype)
+        term_y = counted_einsum(ctx, "abhwc,hkc->abhwk", q, y_rel, c)[..., None]
+        x = counted_add(ctx, x, term_y)
+        term_x = counted_einsum(ctx, "abhwc,wkc->abhwk", q, x_rel, c)[..., None, :]
+        x = counted_add(ctx, x, term_x)
+        return x.reshape(x.shape[:2] + (prod(a), prod(p)))

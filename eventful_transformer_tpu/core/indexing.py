@@ -39,35 +39,31 @@ def take_cols(x, index):
     return jnp.take_along_axis(x, expand_col_index(index, x.ndim), axis=-1)
 
 
-def _masked(values, old, mask, mask_expander, ndim):
-    if mask is None:
-        return values
-    m = mask_expander(mask, ndim)
-    return jnp.where(m, values, old)
-
-
 def put_rows(x, index, values, mask=None):
     """Scatter rows into x at ``index``; entries with mask=False are no-ops.
 
     Equivalent to the reference's ``scatter_(dim=-2, ...)`` with variable-k
-    semantics recovered via the mask (invalid slots re-write the old value).
+    semantics recovered via the mask: invalid slots are redirected
+    out-of-bounds and dropped by XLA scatter semantics (never colliding with
+    valid slots — a "rewrite the old value" scheme would race when a valid
+    slot targets the same row).
     """
-    idx = expand_row_index(index, x.ndim)
     if mask is not None:
-        old = jnp.take_along_axis(x, idx, axis=-2)
-        values = _masked(values, old, mask, expand_row_index, x.ndim)
-    idx = jnp.broadcast_to(idx, values.shape)
-    return jnp.put_along_axis(x, idx, values.astype(x.dtype), axis=-2, inplace=False)
+        index = jnp.where(mask, index, x.shape[-2])
+    idx = jnp.broadcast_to(expand_row_index(index, x.ndim), values.shape)
+    return jnp.put_along_axis(
+        x, idx, values.astype(x.dtype), axis=-2, inplace=False, mode="drop"
+    )
 
 
 def put_cols(x, index, values, mask=None):
     """Scatter cols into x at ``index``; entries with mask=False are no-ops."""
-    idx = expand_col_index(index, x.ndim)
     if mask is not None:
-        old = jnp.take_along_axis(x, idx, axis=-1)
-        values = _masked(values, old, mask, expand_col_index, x.ndim)
-    idx = jnp.broadcast_to(idx, values.shape)
-    return jnp.put_along_axis(x, idx, values.astype(x.dtype), axis=-1, inplace=False)
+        index = jnp.where(mask, index, x.shape[-1])
+    idx = jnp.broadcast_to(expand_col_index(index, x.ndim), values.shape)
+    return jnp.put_along_axis(
+        x, idx, values.astype(x.dtype), axis=-1, inplace=False, mode="drop"
+    )
 
 
 def mask_rows(x, mask):

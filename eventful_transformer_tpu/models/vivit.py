@@ -1,0 +1,321 @@
+"""Factorized ViViT action recognition (reference models/vivit.py).
+
+TPU-first divergences from the reference:
+
+  * The per-time-step spatial sub-model loop (models/vivit.py:146-147 — the
+    reference's documented hot-loop bottleneck, models/vivit.py:107-119) is a
+    single ``lax.scan`` over frames with the eventful state as carry: one
+    compilation, no per-step dispatch.
+  * Tubelet embedding (models/vivit.py:153-192, a Conv3d with kernel ==
+    stride) is expressed as patch-extraction reshape + one large matmul —
+    exactly equivalent and MXU-native.
+  * Preprocessing (variable-length videos → fixed views) runs on host
+    (numpy/jax eager); everything after view construction is jitted.
+"""
+
+from __future__ import annotations
+
+from math import prod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventful_transformer_tpu.core import counting
+from eventful_transformer_tpu.core.backbones import ViTBackbone
+from eventful_transformer_tpu.core.nn import (
+    Dropout,
+    Linear,
+    Module,
+    layer_norm,
+    trunc_normal,
+)
+from eventful_transformer_tpu.ops.resize import resize_bilinear
+
+LN_EPS = 1e-6
+
+
+class TubeletEmbedding(Module):
+    """Linear tubelet embedding (reference models/vivit.py:153-192).
+    Equivalent to Conv3d(kernel=stride=tubelet) but implemented as patch
+    extraction + matmul. Deliberately NOT counted, matching the reference's
+    plain (uncounted) nn.Conv3d."""
+
+    def __init__(self, input_channels, dim, tubelet_shape):
+        self.input_channels = input_channels
+        self.dim = dim
+        self.tubelet_shape = tuple(tubelet_shape)
+
+    def init(self, key):
+        fan_in = self.input_channels * prod(self.tubelet_shape)
+        k1, k2 = jax.random.split(key)
+        scale = 1.0 / np.sqrt(fan_in)
+        return {
+            # (C * t * h * w, dim), flattened in torch Conv3d (C, t, h, w) order
+            "kernel": jax.random.uniform(k1, (fan_in, self.dim), jnp.float32, -scale, scale),
+            "bias": jax.random.uniform(k2, (self.dim,), jnp.float32, -scale, scale),
+        }
+
+    def apply(self, ctx, params, x):
+        del ctx  # uncounted (reference models/vivit.py:169 note in SURVEY §2.2)
+        b, t, c, h, w = x.shape
+        tt, th, tw = self.tubelet_shape
+        x = x.reshape(b, t // tt, tt, c, h // th, th, w // tw, tw)
+        # -> (b, T', H', W', c, tt, th, tw): flatten patch dims in torch
+        # Conv3d weight order (C, t, h, w).
+        x = jnp.transpose(x, (0, 1, 4, 6, 3, 2, 5, 7))
+        x = x.reshape(b, t // tt, (h // th) * (w // tw), c * tt * th * tw)
+        return jnp.matmul(x, params["kernel"].astype(x.dtype)) + params["bias"].astype(x.dtype)
+
+
+class ViViTSubModel(Module):
+    """A factorized ViViT sub-model, spatial or temporal
+    (reference models/vivit.py:272-303). Prepends a class token (first
+    position), runs the backbone + final LN, extracts the class token."""
+
+    def __init__(self, input_size, backbone_config):
+        self.dim = backbone_config["block_config"]["dim"]
+        self.backbone = ViTBackbone(
+            input_size=input_size, has_class_token=True, **backbone_config
+        )
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "class_token": trunc_normal(k1, (1, 1, self.dim)),
+            "backbone": self.backbone.init(k2),
+            "layer_norm": {
+                "scale": jnp.ones((self.dim,)),
+                "bias": jnp.zeros((self.dim,)),
+            },
+        }
+
+    def init_state(self, batch, dtype=jnp.float32):
+        return self.backbone.init_state(batch, dtype)
+
+    def precompute(self, params):
+        return self.backbone.precompute(params["backbone"])
+
+    def apply(self, ctx, params, state, x, aux=None):
+        cls = jnp.broadcast_to(
+            params["class_token"].astype(x.dtype), (x.shape[0], 1, x.shape[-1])
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x, state = self.backbone.apply(ctx, params["backbone"], state, x, aux)
+        x = layer_norm(x, params["layer_norm"], LN_EPS)
+        return x[:, 0], state
+
+
+class ViViTPreprocessing:
+    """Value normalization + spatial/temporal view construction
+    (reference models/vivit.py:195-269). Host-side: inputs have
+    data-dependent length; outputs have static view shapes."""
+
+    def __init__(
+        self,
+        input_shape,
+        normalize_mean,
+        normalize_std,
+        spatial_views,
+        temporal_stride,
+        temporal_views,
+    ):
+        self.input_shape = tuple(input_shape)
+        self.normalize_mean = normalize_mean
+        self.normalize_std = normalize_std
+        self.spatial_views = spatial_views
+        self.temporal_stride = temporal_stride
+        self.temporal_views = temporal_views
+
+    def __call__(self, x):
+        """x: (batch, time, channel, height, width), uint8 or float.
+        Returns a list of views, each (batch, t, c, h, w) float32."""
+        t, _, h, w = self.input_shape
+        x = np.asarray(x)
+
+        # Repeat the last frame if the video is too short.
+        view_size = self.temporal_stride * t
+        if x.shape[1] < view_size:
+            n_pad = view_size - x.shape[1]
+            pad = np.broadcast_to(x[:, -1:], (x.shape[0], n_pad) + x.shape[2:])
+            x = np.concatenate([x, pad], axis=1)
+
+        # Temporal views.
+        if self.temporal_views == 1:
+            starts = [(x.shape[1] - view_size) // 2]
+        else:
+            spacing = (x.shape[1] - view_size) / (self.temporal_views - 1)
+            starts = [int(k * spacing) for k in range(self.temporal_views)]
+        views = [x[:, i : i + view_size : self.temporal_stride] for i in starts]
+
+        # Normalize and resize (short-edge cover, antialiased bilinear,
+        # matching torchvision resize_to_fit in utils/image.py:52-70).
+        out = []
+        for v in views:
+            v = v.astype(np.float32) / 255.0 if v.dtype == np.uint8 else v.astype(np.float32)
+            v = (v - self.normalize_mean) / self.normalize_std
+            scale = max(h / v.shape[-2], w / v.shape[-1])
+            if scale != 1.0:
+                size = (round(scale * v.shape[-2]), round(scale * v.shape[-1]))
+                v = np.asarray(resize_bilinear(jnp.asarray(v), size, antialias=True))
+            out.append(v)
+
+        # Spatial crops (spatial-major ordering, reference models/vivit.py:267).
+        if self.spatial_views == 1:
+            starts = [((out[0].shape[-2] - h) // 2, (out[0].shape[-1] - w) // 2)]
+        else:
+            h_spacing = (out[0].shape[-2] - h) / (self.spatial_views - 1)
+            w_spacing = (out[0].shape[-1] - w) / (self.spatial_views - 1)
+            starts = [
+                (int(k * h_spacing), int(k * w_spacing)) for k in range(self.spatial_views)
+            ]
+        return [v[..., i : i + h, j : j + w] for i, j in starts for v in out]
+
+
+class FactorizedViViT(Module):
+    """Spatio-temporally factorized ViViT (reference models/vivit.py:18-150).
+
+    ``apply_views`` is the jittable entry point: preprocessed views in,
+    class probabilities out. ``apply`` = host preprocessing + apply_views.
+    """
+
+    def __init__(
+        self,
+        classes,
+        input_shape,
+        normalize_mean,
+        normalize_std,
+        spatial_config,
+        spatial_views,
+        temporal_config,
+        temporal_stride,
+        temporal_views,
+        tubelet_shape,
+        batch_views=True,
+        dropout_rate=0.0,
+        spatial_only=False,
+        temporal_only=False,
+    ):
+        assert not (spatial_only and temporal_only)
+        input_shape = tuple(input_shape)
+        tubelet_shape = tuple(tubelet_shape)
+        input_t, input_c, input_h, input_w = input_shape
+        self.classes = classes
+        self.batch_views = batch_views
+        self.spatial_only = spatial_only
+        self.temporal_only = temporal_only
+        self.n_views = spatial_views * temporal_views
+
+        self.preprocessing = ViViTPreprocessing(
+            input_shape,
+            normalize_mean,
+            normalize_std,
+            spatial_views,
+            temporal_stride,
+            temporal_views,
+        )
+        dim = spatial_config["block_config"]["dim"]
+        self.dim = dim
+        self.embedding = TubeletEmbedding(input_c, dim, tubelet_shape)
+        backbone_input_size = (input_h // tubelet_shape[1], input_w // tubelet_shape[2])
+        self.spatial_model = ViViTSubModel(backbone_input_size, spatial_config)
+        self.temporal_model = ViViTSubModel(
+            (input_t // tubelet_shape[0],), temporal_config
+        )
+        self.dropout = Dropout(dropout_rate)
+        self.classifier = Linear(dim, classes)
+
+    # -- gates, for policy injection (utils.misc.set_policies equivalent) ----
+
+    def modules_of_type(self, module_type):
+        found = []
+
+        def walk(obj):
+            for attr in vars(obj).values():
+                if isinstance(attr, module_type):
+                    found.append(attr)
+                if isinstance(attr, (Module,)) and attr is not obj:
+                    walk(attr)
+                if isinstance(attr, (list, tuple)):
+                    for item in attr:
+                        if isinstance(item, module_type):
+                            found.append(item)
+                        if isinstance(item, Module):
+                            walk(item)
+
+        walk(self)
+        return found
+
+    # -- parameters -----------------------------------------------------------
+
+    def init(self, key):
+        return self.sub_init(
+            key,
+            {
+                "embedding": self.embedding,
+                "spatial_model": self.spatial_model,
+                "temporal_model": self.temporal_model,
+                "classifier": self.classifier,
+            },
+        )
+
+    # -- forward ----------------------------------------------------------------
+
+    def apply(self, ctx, params, video):
+        """Full pipeline on a raw video (host preprocessing + device compute).
+        video: (batch, time, channel, height, width)."""
+        batch_size = video.shape[0]
+        if self.temporal_only:
+            return self._forward_temporal(ctx, params, jnp.asarray(video), batch_size)
+        views = self.preprocessing(video)
+        views = jnp.asarray(np.stack(views, axis=1))  # (batch, views, t, c, h, w)
+        return self.apply_views(ctx, params, views)
+
+    def apply_views(self, ctx, params, views):
+        """Jittable: views (batch, n_views, t, c, h, w) -> class probabilities
+        (or spatial features if spatial_only)."""
+        batch_size = views.shape[0]
+        x = self._forward_spatial(ctx, params, views)
+        if self.spatial_only:
+            return x
+        return self._forward_temporal(ctx, params, x, batch_size)
+
+    def _forward_spatial(self, ctx, params, views):
+        b, v = views.shape[:2]
+        if self.batch_views:
+            x = views.reshape((b * v,) + views.shape[2:])
+            x = self._forward_view(ctx, params, x)
+        else:
+            x = jnp.stack(
+                [self._forward_view(ctx, params, views[:, i]) for i in range(v)], axis=1
+            )
+            x = x.reshape((b * v,) + x.shape[2:])
+        return x
+
+    def _forward_view(self, ctx, params, x):
+        """Embed and run the spatial sub-model over each time step via scan
+        (replacing the reference's Python loop, models/vivit.py:146-147)."""
+        x = self.embedding.apply(ctx, params["embedding"], x)
+        # (batch, time, patch, dim)
+        batch = x.shape[0]
+        state = self.spatial_model.init_state(batch, x.dtype)
+        aux = self.spatial_model.precompute(params["spatial_model"])
+
+        def body(ctx, state, frame):
+            y, state = self.spatial_model.apply(
+                ctx, params["spatial_model"], state, frame, aux
+            )
+            return state, y
+
+        _, ys = counting.scan(body, ctx, state, jnp.moveaxis(x, 1, 0))
+        return jnp.moveaxis(ys, 0, 1)  # (batch, time, dim)
+
+    def _forward_temporal(self, ctx, params, x, batch_size):
+        x = x.reshape((-1,) + x.shape[-2:])
+        state = self.temporal_model.init_state(x.shape[0], x.dtype)
+        x, _ = self.temporal_model.apply(ctx, params["temporal_model"], state, x)
+        x = self.dropout.apply(ctx, None, x)
+        x = self.classifier.apply(ctx, params["classifier"], x)
+        x = x.reshape(batch_size, -1, x.shape[-1])
+        x = x.mean(axis=-2)
+        return jax.nn.softmax(x, axis=-1)

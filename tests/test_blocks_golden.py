@@ -1,0 +1,207 @@
+"""Block-level golden-parity tests: dense and eventful blocks vs. the
+reference PyTorch implementation, identical weights and inputs, multi-frame
+sequences, output and FLOP-count parity."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from eventful_transformer_tpu.core.blocks import (  # noqa: E402
+    Block,
+    EventfulBlock,
+    EventfulMatmul1Block,
+    EventfulTokenwiseBlock,
+)
+from eventful_transformer_tpu.core.counting import Counts, Ctx  # noqa: E402
+from eventful_transformer_tpu.core.policies import TokenNormTopK  # noqa: E402
+from tests.ref_loader import load_reference, torch_block_params  # noqa: E402
+
+REF = load_reference()
+
+DIM, HEADS, MLP = 24, 3, 2
+
+
+def _seed_torch_block(cls, **kwargs):
+    torch.manual_seed(0)
+    block = cls(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+    for p in block.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn_like(p) * 0.1)
+    block.eval()
+    return block
+
+
+def _set_ref_policies(block, k):
+    for cls in (REF.modules.SimpleSTGTGate, REF.modules.TokenDeltaGate, REF.modules.TokenGate):
+        for m in block.modules():
+            if type(m) is cls:
+                m.policy = REF.policies.TokenNormTopK(k)
+
+
+def _set_our_policies(block, k):
+    for gate in [
+        g
+        for g in vars(block).values()
+        if g.__class__.__name__.endswith("Gate")
+    ]:
+        gate.policy = TokenNormTopK(k)
+
+
+class TestDenseBlockGolden:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(input_size=(4, 6)),
+            dict(input_size=(4, 6), relative_embedding_size=(4, 6)),
+            dict(input_size=(8, 8), window_size=(4, 4), relative_embedding_size=(3, 3)),
+            dict(input_size=(7, 5), window_size=(4, 4)),  # padding path
+            dict(input_size=(8, 8), pool_size=2),
+            dict(input_size=(8, 8), pool_size=2, relative_embedding_size=(4, 4)),
+            dict(input_size=(4, 6), matmul_2_cast="bfloat16"),
+        ],
+    )
+    def test_matches_reference(self, rng, kwargs):
+        ref_block = _seed_torch_block(REF.blocks.Block, **kwargs)
+        ours = Block(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+        params = torch_block_params(ref_block)
+        n = kwargs["input_size"][0] * kwargs["input_size"][1]
+        x = rng.standard_normal((2, n, DIM)).astype(np.float32)
+        with torch.inference_mode():
+            want = ref_block(torch.from_numpy(x.copy())).numpy()
+        got, _ = ours.apply(Ctx(), params, {}, jnp.asarray(x))
+        tol = 2e-2 if kwargs.get("matmul_2_cast") else 2e-5
+        np.testing.assert_allclose(np.asarray(got), want, rtol=tol, atol=tol)
+
+    def test_count_parity(self, rng):
+        kwargs = dict(input_size=(8, 8), window_size=(4, 4), relative_embedding_size=(3, 3))
+        ref_block = _seed_torch_block(REF.blocks.Block, **kwargs)
+        ours = Block(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+        params = torch_block_params(ref_block)
+        x = rng.standard_normal((2, 64, DIM)).astype(np.float32)
+        ref_block.counting()
+        with torch.inference_mode():
+            ref_block(torch.from_numpy(x.copy()))
+        ctx = Ctx(count_mode=True)
+        ours.apply(ctx, params, {}, jnp.asarray(x))
+        ref_counts = dict(ref_block.total_counts())
+        our_counts = Counts.from_device(ctx.counts).nonzero()
+        assert our_counts == ref_counts
+
+
+class TestEventfulBlocksGolden:
+    @pytest.mark.parametrize(
+        "cls_name,kwargs",
+        [
+            ("EventfulTokenwiseBlock", dict(input_size=(4, 6))),
+            ("EventfulTokenwiseBlock", dict(input_size=(4, 6), gate_before_ln=True)),
+            ("EventfulTokenwiseBlock", dict(input_size=(4, 6), stgt=True)),
+            (
+                "EventfulTokenwiseBlock",
+                dict(input_size=(8, 8), window_size=(4, 4), relative_embedding_size=(3, 3)),
+            ),
+            ("EventfulMatmul1Block", dict(input_size=(4, 6))),
+            ("EventfulMatmul1Block", dict(input_size=(8, 8), pool_size=2)),
+            ("EventfulBlock", dict(input_size=(4, 6))),
+            ("EventfulBlock", dict(input_size=(4, 6), relative_embedding_size=(4, 6))),
+            ("EventfulBlock", dict(input_size=(8, 8), pool_size=2)),
+        ],
+    )
+    def test_multi_frame_parity(self, rng, cls_name, kwargs):
+        k = 8
+        ref_cls = getattr(REF.blocks, cls_name)
+        our_cls = {
+            "EventfulTokenwiseBlock": EventfulTokenwiseBlock,
+            "EventfulMatmul1Block": EventfulMatmul1Block,
+            "EventfulBlock": EventfulBlock,
+        }[cls_name]
+        ref_block = _seed_torch_block(ref_cls, **kwargs)
+        ours = our_cls(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+        params = torch_block_params(ref_block)
+        _set_ref_policies(ref_block, k)
+        _set_our_policies(ours, k)
+        n = kwargs["input_size"][0] * kwargs["input_size"][1]
+        state = ours.init_state(1, n)
+        base = rng.standard_normal((1, n, DIM)).astype(np.float32)
+        ref_block.counting()
+        ctx = Ctx(count_mode=True)
+        for t in range(4):
+            x = base + 0.1 * t * rng.standard_normal((1, n, DIM)).astype(np.float32)
+            with torch.inference_mode():
+                want = ref_block(torch.from_numpy(x.copy())).numpy()
+            got, state = ours.apply(ctx, params, state, jnp.asarray(x))
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=1e-3, atol=1e-4,
+                err_msg=f"{cls_name} {kwargs} frame {t}",
+            )
+        # FLOP-count parity (pooled variants use capacity-masked dedup whose
+        # counts can differ by the duplicate fraction; exact elsewhere).
+        ref_counts = dict(ref_block.total_counts())
+        our_counts = Counts.from_device(ctx.counts).nonzero()
+        if kwargs.get("pool_size") is None:
+            for key, val in ref_counts.items():
+                assert our_counts[key] == pytest.approx(val, rel=1e-6), key
+
+    def test_full_budget_matches_dense(self, rng):
+        """Eventful blocks at full token budget degrade to the dense
+        computation (the reference's correctness-by-construction property,
+        SURVEY.md §4.1)."""
+        kwargs = dict(input_size=(4, 6))
+        n = 24
+        ref_dense = _seed_torch_block(REF.blocks.Block, **kwargs)
+        ours = EventfulBlock(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+        params = torch_block_params(ref_dense)
+        _set_our_policies(ours, n)
+        state = ours.init_state(2, n)
+        for t in range(3):
+            x = rng.standard_normal((2, n, DIM)).astype(np.float32)
+            with torch.inference_mode():
+                want = ref_dense(torch.from_numpy(x.copy())).numpy()
+            got, state = ours.apply(Ctx(), params, state, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=1e-4)
+
+
+class TestPositionEmbeddingsGolden:
+    def test_position_encoding_resized(self, rng):
+        from eventful_transformer_tpu.core.embeddings import PositionEncoding
+
+        torch.manual_seed(1)
+        ref = REF.utils.PositionEncoding(
+            dim=DIM, encoding_size=(4, 4), input_size=(6, 7), has_class_token=True
+        )
+        with torch.no_grad():
+            ref.encoding.copy_(torch.randn_like(ref.encoding))
+        ref.eval()
+        ours = PositionEncoding(DIM, (4, 4), (6, 7), has_class_token=True)
+        params = {"encoding": jnp.asarray(ref.encoding.detach().numpy())}
+        x = rng.standard_normal((2, 43, DIM)).astype(np.float32)
+        with torch.inference_mode():
+            want = ref(torch.from_numpy(x.copy())).numpy()
+        got = ours.apply(Ctx(), params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    def test_relative_position_embedding(self, rng):
+        from eventful_transformer_tpu.core.embeddings import RelativePositionEmbedding
+
+        head_dim = DIM // HEADS
+        att, emb, pool = (8, 8), (5, 5), (2, 2)
+        torch.manual_seed(2)
+        ref = REF.utils.RelativePositionEmbedding(att, emb, head_dim, pool_size=pool)
+        with torch.no_grad():
+            ref.y_embedding.copy_(torch.randn_like(ref.y_embedding))
+            ref.x_embedding.copy_(torch.randn_like(ref.x_embedding))
+        ref.eval()
+        ours = RelativePositionEmbedding(att, emb, head_dim, pool_size=pool)
+        params = {
+            "y_embedding": jnp.asarray(ref.y_embedding.detach().numpy()),
+            "x_embedding": jnp.asarray(ref.x_embedding.detach().numpy()),
+        }
+        n, np_ = 64, 16
+        x = rng.standard_normal((2, HEADS, n, np_)).astype(np.float32)
+        q = rng.standard_normal((2, HEADS, n, head_dim)).astype(np.float32)
+        with torch.inference_mode():
+            want = ref(torch.from_numpy(x.copy()), torch.from_numpy(q), inplace=False).numpy()
+        got = ours.apply(Ctx(), params, jnp.asarray(x), jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

@@ -54,7 +54,7 @@ class TestTokenGate:
         ours.policy = TokenNormTopK(K)
         state = None
         for x in _seq(rng, (B, N, C)):
-            rt = ref(torch.from_numpy(x))
+            rt = ref(torch.from_numpy(x.copy()))
             if state is None:
                 y, state = ours.flush(None, jnp.asarray(x))
                 assert rt[1] is None
@@ -81,7 +81,7 @@ class TestTokenGate:
         ours.policy = TokenNormThreshold(2.5)
         state = None
         for x in _seq(rng, (1, N, C)):
-            rt = ref(torch.from_numpy(x))
+            rt = ref(torch.from_numpy(x.copy()))
             if state is None:
                 _, state = ours.flush(None, jnp.asarray(x))
             else:
@@ -107,7 +107,7 @@ class TestTokenDeltaGate:
         ours.policy = TokenNormTopK(K)
         state = None
         for x in _seq(rng, (B, N, C)):
-            rt = ref(torch.from_numpy(x))
+            rt = ref(torch.from_numpy(x.copy()))
             if state is None:
                 _, state = ours.flush(None, jnp.asarray(x))
             else:
@@ -132,7 +132,7 @@ class TestSTGTGate:
         ours.policy = TokenNormTopK(K)
         state = None
         for x in _seq(rng, (B, N, C)):
-            ref(torch.from_numpy(x))
+            ref(torch.from_numpy(x.copy()))
             if state is None:
                 _, state = ours.flush(None, jnp.asarray(x))
             else:
@@ -151,14 +151,14 @@ class TestTokenBuffer:
         for x in _seq(rng, shape):
             if state is None:
                 out, state = ours.flush(None, jnp.asarray(x))
-                rout = ref(torch.from_numpy(x), None)
+                rout = ref(torch.from_numpy(x.copy()), None)
             else:
                 vals = rng.standard_normal(k_shape).astype(np.float32)
                 idx = np.stack([rng.choice(N, K, replace=False) for _ in range(B)]).astype(
                     np.int32
                 )
                 out, state = ours.incremental(state, jnp.asarray(vals), jnp.asarray(idx))
-                rout = ref(torch.from_numpy(vals), torch.from_numpy(idx).long())
+                rout = ref(torch.from_numpy(vals.copy()), torch.from_numpy(idx).long())
             np.testing.assert_allclose(np.asarray(out), rout.numpy(), rtol=1e-6)
 
     def test_masked_scatter_is_noop(self, rng):
@@ -189,7 +189,7 @@ class TestMatmulBuffer:
             ctx = Ctx(count_mode=True)
             if state is None:
                 out, state = ours.flush(ctx, None, jnp.asarray(q), jnp.asarray(k))
-                rout = ref(torch.from_numpy(q), torch.from_numpy(k), None, None)
+                rout = ref(torch.from_numpy(q.copy()), torch.from_numpy(k.copy()), None, None)
             else:
                 idx_q = np.stack(
                     [rng.choice(N, K, replace=False) for _ in range(B)]
@@ -203,7 +203,7 @@ class TestMatmulBuffer:
                 )
                 ref.counting()
                 rout = ref(
-                    torch.from_numpy(q), torch.from_numpy(k),
+                    torch.from_numpy(q.copy()), torch.from_numpy(k.copy()),
                     torch.from_numpy(idx_q).long(), torch.from_numpy(idx_k).long(),
                 )
                 counts = counts + Counts.from_device(ctx.counts)
@@ -234,7 +234,7 @@ class TestMatmulDeltaAccumulator:
                     ctx, state, *(jnp.asarray(x) for x in (a_n, v_n, a_d, v_d))
                 )
                 ref.counting()
-                rout = ref(*(torch.from_numpy(x) for x in (a_n, v_n, a_d, v_d)))
+                rout = ref(*(torch.from_numpy(x.copy()) for x in (a_n, v_n, a_d, v_d)))
                 counts = counts + Counts.from_device(ctx.counts)
             np.testing.assert_allclose(np.asarray(out), rout.numpy(), rtol=1e-4, atol=1e-5)
         rc = ref.total_counts()
