@@ -1,0 +1,123 @@
+"""Headline benchmark: Kinetics-400-protocol ViViT-B clips/sec on one chip,
+eventful (EventfulBlock, 50% token budget, bf16 A·V cast) vs dense.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``value``  = eventful clips/sec/chip (full apply_views pipeline: tubelet
+             embedding + 12-block spatial scan over 16 frames x views +
+             temporal model + classifier).
+``vs_baseline`` = speedup over the dense ViViT-B on the same chip — the
+             reference publishes no absolute numbers (BASELINE.md), so the
+             dense model measured under identical conditions IS the
+             baseline; the north-star is >= 2.0 (BASELINE.json).
+
+Protocol follows the reference eval (SURVEY.md §6): batch 1 clip, views
+stacked on the batch axis, per-video flush + steady-state frames.
+"""
+
+import argparse
+import json
+
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16"):
+    from eventful_transformer_tpu.core.gating import TokenGate
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+    from eventful_transformer_tpu.models import FactorizedViViT
+
+    spatial_block = dict(dim=768, heads=12, mlp_ratio=4)
+    if eventful:
+        spatial_block["matmul_2_cast"] = budget_cast
+    config = dict(
+        classes=400,
+        input_shape=[frames, 3, size, size],
+        normalize_mean=0.45,
+        normalize_std=0.225,
+        spatial_views=1,
+        temporal_stride=2,
+        temporal_views=views,
+        tubelet_shape=[2, 16, 16],
+        spatial_config=dict(
+            depth=12,
+            position_encoding_size=[14, 14],
+            block_class="EventfulBlock" if eventful else "Block",
+            block_config=spatial_block,
+        ),
+        temporal_config=dict(
+            depth=4,
+            position_encoding_size=[16],
+            block_config=dict(dim=768, heads=12, mlp_ratio=4),
+        ),
+    )
+    model = FactorizedViViT(**config)
+    if eventful:
+        for gate in model.modules_of_type(TokenGate):
+            gate.policy = TokenNormTopK(k=k)
+    return model
+
+
+def time_model(model, views, iters, warmup=2):
+    from eventful_transformer_tpu.core.counting import Ctx
+    from eventful_transformer_tpu.utils.timing import time_jitted
+
+    params = model.init(jax.random.PRNGKey(0))
+
+    # Params must be an ARGUMENT: closed-over arrays are baked into the HLO
+    # as constants (bloats the program past compile limits).
+    def step(p, v):
+        return model.apply_views(Ctx(), p, v)
+
+    return time_jitted(step, (params, views), iters=iters, warmup=warmup)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--views", type=int, default=4)
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--size", type=int, default=224)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--budget", type=float, default=0.5)
+    args = parser.parse_args()
+
+    n_tokens = (args.size // 16) ** 2 + 1
+    k = int(args.budget * n_tokens)
+
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(
+        rng.standard_normal((1, args.views, args.frames, 3, args.size, args.size)).astype(
+            np.float32
+        )
+    )
+
+    dense = build_model(False, k, args.views, args.frames, args.size)
+    dense_t = time_model(dense, views, args.iters)
+    eventful = build_model(True, k, args.views, args.frames, args.size)
+    eventful_t = time_model(eventful, views, args.iters)
+
+    clips_per_sec = 1.0 / eventful_t
+    result = {
+        "metric": "vivit_b_k400_clips_per_sec_1chip_50pct_budget",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s",
+        "vs_baseline": round(dense_t / eventful_t, 4),
+        "detail": {
+            "dense_s_per_clip": round(dense_t, 4),
+            "eventful_s_per_clip": round(eventful_t, 4),
+            "k": k,
+            "n_tokens": n_tokens,
+            "views": args.views,
+            "frames": args.frames,
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

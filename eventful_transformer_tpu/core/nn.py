@@ -37,6 +37,26 @@ class Module:
         keys = jax.random.split(key, len(named_modules))
         return {name: m.init(k) for (name, m), k in zip(named_modules.items(), keys)}
 
+    def modules_of_type(self, module_type):
+        """Recursively collect sub-objects of a type (the functional analog
+        of reference base.py:115-122, used for policy injection)."""
+        found, seen = [], set()
+
+        def walk(obj):
+            if id(obj) in seen:
+                return
+            seen.add(id(obj))
+            for attr in vars(obj).values():
+                items = attr if isinstance(attr, (list, tuple)) else [attr]
+                for item in items:
+                    if isinstance(item, module_type):
+                        found.append(item)
+                    if isinstance(item, Module):
+                        walk(item)
+
+        walk(self)
+        return found
+
 
 def numeric_tuple(x, length):
     """Expand a scalar into a tuple (reference base.py:152-162)."""

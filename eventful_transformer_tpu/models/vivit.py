@@ -225,27 +225,6 @@ class FactorizedViViT(Module):
         self.dropout = Dropout(dropout_rate)
         self.classifier = Linear(dim, classes)
 
-    # -- gates, for policy injection (utils.misc.set_policies equivalent) ----
-
-    def modules_of_type(self, module_type):
-        found = []
-
-        def walk(obj):
-            for attr in vars(obj).values():
-                if isinstance(attr, module_type):
-                    found.append(attr)
-                if isinstance(attr, (Module,)) and attr is not obj:
-                    walk(attr)
-                if isinstance(attr, (list, tuple)):
-                    for item in attr:
-                        if isinstance(item, module_type):
-                            found.append(item)
-                        if isinstance(item, Module):
-                            walk(item)
-
-        walk(self)
-        return found
-
     # -- parameters -----------------------------------------------------------
 
     def init(self, key):

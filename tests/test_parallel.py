@@ -1,0 +1,126 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: TP-sharded forward
+equivalence, the sharded training step, and the driver dry-run entry."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.models import FactorizedViViT
+from eventful_transformer_tpu.parallel.mesh import best_dp_tp_mesh, make_mesh
+from eventful_transformer_tpu.parallel.sharding import shard_params, vit_param_specs
+
+TINY = dict(
+    classes=16,
+    input_shape=[8, 3, 32, 32],
+    normalize_mean=0.45,
+    normalize_std=0.225,
+    spatial_views=1,
+    temporal_stride=2,
+    temporal_views=2,
+    tubelet_shape=[2, 8, 8],
+    spatial_config=dict(
+        depth=2, position_encoding_size=[4, 4],
+        block_config=dict(dim=32, heads=4, mlp_ratio=4),
+    ),
+    temporal_config=dict(
+        depth=1, position_encoding_size=[4],
+        block_config=dict(dim=32, heads=4, mlp_ratio=4),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()
+
+
+class TestMesh:
+    def test_make_mesh_infers(self, devices):
+        mesh = make_mesh((-1, 2))
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_best_dp_tp(self, devices):
+        mesh = best_dp_tp_mesh(8, max_tp=4)
+        assert dict(mesh.shape) == {"data": 2, "model": 4}
+        mesh = best_dp_tp_mesh(8, max_tp=3)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+class TestTensorParallel:
+    def test_sharded_forward_matches_single_device(self, devices, rng):
+        model = FactorizedViViT(**TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        views = jnp.asarray(
+            rng.standard_normal((4, 2, 8, 3, 32, 32)).astype(np.float32)
+        )
+        want = model.apply_views(Ctx(), params, views)
+
+        mesh = make_mesh((2, 4), ("data", "model"))
+        sharded = shard_params(mesh, params)
+        views_sharded = jax.device_put(views, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def fwd(p, v):
+            return model.apply_views(Ctx(), p, v)
+
+        got = fwd(sharded, views_sharded)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6
+        )
+
+    def test_param_specs_shard_the_right_axes(self):
+        model = FactorizedViViT(**TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        specs = vit_param_specs(params)
+        block = specs["spatial_model"]["backbone"]["blocks"][0]
+        assert block["qkv"]["kernel"] == P(None, "model")
+        assert block["qkv"]["bias"] == P("model")
+        assert block["projection"]["kernel"] == P("model", None)
+        assert block["projection"]["bias"] == P()
+        assert block["mlp_1"]["kernel"] == P(None, "model")
+        assert block["mlp_2"]["kernel"] == P("model", None)
+        assert specs["classifier"]["kernel"] == P()
+        assert specs["embedding"]["kernel"] == P()
+
+
+class TestDryrun:
+    def test_graft_entry_dryrun(self, devices):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+
+    def test_training_reduces_loss(self, devices):
+        import optax
+
+        from eventful_transformer_tpu.parallel.train import make_sharded_train_step
+
+        model = FactorizedViViT(**TINY, dropout_rate=0.0)
+        params = model.init(jax.random.PRNGKey(0))
+        mesh = best_dp_tp_mesh(8, max_tp=2)
+        optimizer = optax.adamw(3e-3)
+        init_fn, make_jitted = make_sharded_train_step(model, optimizer, mesh)
+        params, opt_state, shardings = init_fn(params)
+        step = make_jitted(params, opt_state, shardings)
+        rng = np.random.default_rng(0)
+        batch = {
+            "inputs": jnp.asarray(
+                rng.standard_normal((8, 2, 8, 3, 32, 32)).astype(np.float32)
+            ),
+            "labels": jnp.asarray(rng.integers(0, 16, (8,), dtype=np.int32)),
+        }
+        losses = []
+        for i in range(5):
+            params, opt_state, loss = step(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
