@@ -80,12 +80,31 @@ class ViTBackbone(Module):
             ],
         }
 
+    @property
+    def homogeneous(self):
+        """True when every block is interchangeable (same class and static
+        config) — then the stack is executed as ONE ``lax.scan`` over stacked
+        layer parameters: a 12x smaller program for ViViT-B, much faster XLA
+        compiles, identical numerics."""
+        first = self.blocks[0]
+        return all(
+            type(b) is type(first) and vars(b).keys() == vars(first).keys()
+            and all(
+                vars(b)[k] == vars(first)[k]
+                for k in vars(b)
+                if isinstance(vars(b)[k], (int, float, str, tuple, bool, type(None)))
+            )
+            for b in self.blocks[1:]
+        )
+
     def apply(self, ctx, params, state, x, aux=None):
         if aux is None:
             aux = self.precompute(params)
         x = self.position_encoding.apply(
             ctx, params["position_encoding"], x, aux["position_encoding"]
         )
+        if len(self.blocks) > 1 and self.homogeneous:
+            return self._apply_scanned(ctx, params, state, x, aux)
         new_states = []
         for i, block in enumerate(self.blocks):
             x, s = block.apply(
@@ -93,3 +112,26 @@ class ViTBackbone(Module):
             )
             new_states.append(s)
         return x, {"blocks": new_states}
+
+    def _apply_scanned(self, ctx, params, state, x, aux):
+        import jax
+
+        from eventful_transformer_tpu.core import counting
+
+        block = self.blocks[0]
+        stack = lambda *xs: jnp.stack(xs)
+        layer_params = jax.tree_util.tree_map(stack, *params["blocks"])
+        layer_state = jax.tree_util.tree_map(stack, *state["blocks"])
+        layer_aux = jax.tree_util.tree_map(stack, *aux["blocks"])
+
+        def body(ctx, carry, layer):
+            p, s, a = layer
+            y, s = block.apply(ctx, p, s, carry, a)
+            return y, s
+
+        x, states = counting.scan(body, ctx, x, (layer_params, layer_state, layer_aux))
+        unstacked = [
+            jax.tree_util.tree_map(lambda s, i=i: s[i], states)
+            for i in range(len(self.blocks))
+        ]
+        return x, {"blocks": unstacked}

@@ -26,6 +26,8 @@ from eventful_transformer_tpu.core.indexing import (
     mask_rows,
     put_cols,
     put_rows,
+    select_cols,
+    select_rows,
     take_cols,
     take_rows,
     valid_fraction,
@@ -63,12 +65,14 @@ class TokenGate:
         ctx.add("gate_flops", c.size)
         p = state["p"]
         index, mask = self._select(c - p, forced_index, forced_mask)
+        # The p update writes back rows of c at their own positions, so it is
+        # a pure select — no scatter (TPU-first; exact).
         if self.structure == "row":
             c_tilde = take_rows(c, index)
-            p = put_rows(p, index, c_tilde, mask)
+            p = select_rows(p, c, index, mask)
         else:
             c_tilde = take_cols(c, index)
-            p = put_cols(p, index, c_tilde, mask)
+            p = select_cols(p, c, index, mask)
         return c_tilde, index, mask, {"p": p}
 
 
@@ -88,13 +92,13 @@ class TokenDeltaGate(TokenGate):
             e_tilde = take_rows(e, index)
             if mask is not None:
                 e_tilde = mask_rows(e_tilde, mask)
-            p = put_rows(p, index, c_tilde, mask)
+            p = select_rows(p, c, index, mask)
         else:
             c_tilde = take_cols(c, index)
             e_tilde = take_cols(e, index)
             if mask is not None:
                 e_tilde = mask_cols(e_tilde, mask)
-            p = put_cols(p, index, c_tilde, mask)
+            p = select_cols(p, c, index, mask)
         return c_tilde, e_tilde, index, mask, {"p": p}
 
 

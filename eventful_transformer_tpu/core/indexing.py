@@ -53,39 +53,71 @@ def _one_hot_rows(index, mask, n, ndim, dtype):
     return oh.reshape(shape)
 
 
+def _inverse_index(index, mask, n):
+    """Invert a (..., k) slot->position index into a (..., n) position->slot
+    map plus a coverage mask. Invalid slots are dropped (redirected
+    out-of-bounds). This is a TINY int scatter (B x n elements), cheap on TPU
+    unlike value scatters."""
+    k = index.shape[-1]
+    if mask is not None:
+        index = jnp.where(mask, index, n)
+    slots = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), index.shape)
+    inv = jnp.zeros(index.shape[:-1] + (n,), jnp.int32)
+    inv = jnp.put_along_axis(inv, index, slots, axis=-1, inplace=False, mode="drop")
+    cov = jnp.zeros(index.shape[:-1] + (n,), bool)
+    cov = jnp.put_along_axis(
+        cov, index, jnp.ones(index.shape, bool), axis=-1, inplace=False, mode="drop"
+    )
+    return inv, cov
+
+
 def put_rows(x, index, values, mask=None):
     """Scatter rows into x at ``index``; entries with mask=False are no-ops.
 
-    TPU-first formulation: XLA scatter with per-element indices is ~50x
-    slower than the MXU on these shapes (measured), so the scatter is
-    expressed as a one-hot matmul + coverage blend:
-
-        out = x * (1 - covered) + one_hotᵀ @ values
-
-    ``covered`` is exactly 0/1, so untouched rows are bit-identical to x and
-    touched rows are bit-identical to values (one nonzero per one-hot row).
-    Equivalent to the reference's ``scatter_(dim=-2, ...)``.
+    TPU-first formulation: XLA value-scatter is ~50x slower than compute on
+    these shapes (measured), and a one-hot matmul costs N*k*C real FLOPs.
+    Instead: invert the index (tiny int scatter), GATHER the values by the
+    inverse permutation, and select — zero FLOPs, pure memory traffic.
+    Bit-identical to the reference's ``scatter_(dim=-2, ...)``.
     """
-    n = x.shape[-2]
-    oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
-    scattered = jnp.matmul(
-        jnp.swapaxes(oh, -1, -2), values.astype(x.dtype), preferred_element_type=x.dtype
+    inv, cov = _inverse_index(index, mask, x.shape[-2])
+    gathered = jnp.take_along_axis(
+        values, expand_row_index(inv, values.ndim), axis=-2
     )
-    covered = jnp.sum(oh, axis=-2)[..., None]  # (..., n, 1)
-    return x * (1 - covered) + scattered
+    return jnp.where(expand_row_index(cov, x.ndim), gathered.astype(x.dtype), x)
 
 
 def put_cols(x, index, values, mask=None):
     """Scatter cols into x at ``index``; entries with mask=False are no-ops.
-    One-hot matmul formulation (see put_rows)."""
-    n = x.shape[-1]
-    oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
-    scattered = jnp.matmul(
-        values.astype(x.dtype), oh, preferred_element_type=x.dtype
+    Inverse-permutation gather formulation (see put_rows)."""
+    inv, cov = _inverse_index(index, mask, x.shape[-1])
+    gathered = jnp.take_along_axis(
+        values, expand_col_index(inv, values.ndim), axis=-1
     )
-    covered = jnp.sum(oh, axis=-2)  # (..., n)
-    covered = covered[..., None, :]
-    return x * (1 - covered) + scattered
+    return jnp.where(expand_col_index(cov, x.ndim), gathered.astype(x.dtype), x)
+
+
+def coverage(index, mask, n, ndim):
+    """Indicator (..., 1s, n) of which positions an index selects (invalid
+    slots excluded), aligned for broadcasting against an ndim operand's
+    second-to-last axis when [..., None] is appended by the caller."""
+    oh = _one_hot_rows(index, mask, n, ndim, jnp.float32)
+    return jnp.sum(oh, axis=-2)
+
+
+def select_rows(p, c, index, mask=None):
+    """Replace the rows of ``p`` selected by ``index`` with the SAME rows of
+    ``c``: equivalent to gather-from-c + scatter-into-p (the reference gate's
+    p update, modules.py:151) but as a pure elementwise select — no scatter.
+    """
+    cov = coverage(index, mask, p.shape[-2], p.ndim)[..., None]
+    return jnp.where(cov > 0, c, p)
+
+
+def select_cols(p, c, index, mask=None):
+    """Column version of :func:`select_rows`."""
+    cov = coverage(index, mask, p.shape[-1], p.ndim + 1)
+    return jnp.where(cov > 0, c, p)
 
 
 def mask_rows(x, mask):

@@ -114,7 +114,6 @@ def convert_torch_state_dict(state_dict):
       relative_position.{x,y}_embedding        unchanged
       ======================================  ==============================
     """
-    linear_names = {"qkv", "projection", "mlp_1", "mlp_2", "classifier"}
     out = {}
     for name, value in state_dict.items():
         value = np.asarray(
@@ -134,8 +133,13 @@ def convert_torch_state_dict(state_dict):
                 o = value.shape[0]
                 value = value.transpose(1, 2, 3, 0).reshape(-1, o)
                 leaf = "kernel"
-        elif leaf == "weight" and parent in linear_names and value.ndim == 2:
+        elif leaf == "weight" and value.ndim == 2:  # Linear (out, in)
             value = value.T
+            leaf = "kernel"
+        elif leaf == "weight" and value.ndim == 4:
+            # Conv2d (O, I, kh, kw) -> HWIO; ConvTranspose2d (I, O, kh, kw)
+            # -> (kh, kw, O, I): the same transpose serves both layouts.
+            value = value.transpose(2, 3, 1, 0)
             leaf = "kernel"
         elif leaf == "weight":  # LayerNorm scale
             leaf = "scale"

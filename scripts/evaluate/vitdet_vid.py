@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Eventful-ViTDet evaluation on ImageNet VID
+(reference scripts/evaluate/vitdet_vid.py): per-video state reset, COCO-style
+mAP computed once over all predictions."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+import jax
+
+from eventful_transformer_tpu.core.counting import Counts, Ctx
+from eventful_transformer_tpu.data.vid import VID, VIDResize
+from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+from eventful_transformer_tpu.models.vitdet import ViTDet
+from eventful_transformer_tpu.utils.config import initialize_run
+from eventful_transformer_tpu.utils.evaluate import run_evaluations
+
+
+def evaluate_vitdet_metrics(model, params, data, config):
+    mean_ap = MeanAveragePrecision()
+    c, in_h, in_w = model.input_shape
+
+    @jax.jit
+    def step(p, state, frame):
+        ctx = Ctx(count_mode=True)
+        out, state = model.apply(ctx, p, state, frame)
+        return out, state, ctx.counts
+
+    total_counts = Counts()
+    n_frames = 0
+    n_items = min(config.get("n_items") or len(data), len(data))
+    for i in range(n_items):
+        vid_item = data[i]
+        state = model.init_state()
+        for t in range(len(vid_item)):
+            frame, annotations = vid_item[t]
+            frame = np.asarray(frame, np.float32)
+            padded = np.zeros((1, c, in_h, in_w), np.float32)
+            padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
+            out, state, counts = step(params, state, padded)
+            mask = np.asarray(out["mask"])
+            mean_ap.update(
+                [
+                    {
+                        "boxes": np.asarray(out["boxes"])[mask],
+                        "scores": np.asarray(out["scores"])[mask],
+                        "labels": np.asarray(out["labels"])[mask],
+                    }
+                ],
+                [annotations],
+            )
+            total_counts = total_counts + Counts.from_device(counts)
+            n_frames += 1
+    metrics = mean_ap.compute()
+    counts = (total_counts / max(n_frames, 1)).nonzero()
+    return {"metrics": metrics, "counts": counts}
+
+
+def main():
+    config = initialize_run(config_location=Path("configs", "evaluate", "vitdet_vid"))
+    long_edge = max(config["model"]["input_shape"][-2:])
+    data = VID(
+        Path("data", "vid"),
+        split=config["split"],
+        tar_path=Path("data", "vid", "data.tar"),
+        combined_transform=VIDResize(
+            short_edge_length=640 * long_edge // 1024, max_size=long_edge
+        ),
+    )
+    run_evaluations(config, ViTDet, data, evaluate_vitdet_metrics)
+
+
+if __name__ == "__main__":
+    main()

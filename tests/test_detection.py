@@ -1,0 +1,272 @@
+"""Detection stack tests: NMS vs a numpy oracle, box transforms and conv ops
+vs torch, ROIAlign sanity, and end-to-end tiny ViTDet (dense + eventful)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.detection.anchors import cell_anchors, grid_anchors
+from eventful_transformer_tpu.detection.boxes import apply_deltas, iou_matrix
+from eventful_transformer_tpu.detection.nms import batched_nms, nms_padded
+from eventful_transformer_tpu.detection.roi_align import assign_levels, roi_align
+from eventful_transformer_tpu.models.vitdet import ViTDet
+
+
+def _nms_oracle(boxes, scores, thresh):
+    """Straightforward numpy greedy NMS."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or not np.isfinite(scores[i]):
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(area_i + area - inter, 1e-9)
+        suppressed |= iou > thresh
+    return keep
+
+
+class TestNMS:
+    def test_matches_numpy_oracle(self, rng):
+        boxes = np.abs(rng.standard_normal((64, 2)) * 20)
+        boxes = np.concatenate([boxes, boxes + 5 + np.abs(rng.standard_normal((64, 2)) * 15)], 1)
+        boxes = boxes.astype(np.float32)
+        scores = rng.standard_normal(64).astype(np.float32)
+        idx, mask = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 32)
+        got = np.asarray(idx)[np.asarray(mask)].tolist()
+        want = _nms_oracle(boxes, scores, 0.5)[:32]
+        assert got == want
+
+    def test_padded_invalid_scores(self, rng):
+        boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (8, 1))
+        scores = np.full(8, -np.inf, np.float32)
+        scores[3] = 1.0
+        idx, mask = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 4)
+        assert np.asarray(mask).sum() == 1
+        assert int(np.asarray(idx)[0]) == 3
+
+    def test_batched_groups_dont_suppress(self):
+        boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+        scores = np.array([0.9, 0.8], np.float32)
+        groups = np.array([0, 1], np.int32)
+        _, mask = batched_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(groups), 0.5, 4
+        )
+        assert np.asarray(mask).sum() == 2  # identical boxes, different groups
+
+
+class TestBoxes:
+    def test_apply_deltas_matches_torch_semantics(self, rng):
+        boxes = np.array([[10, 20, 50, 80]], np.float32)
+        deltas = np.array([[0.1, -0.2, 0.3, 0.05]], np.float32)
+        got = np.asarray(apply_deltas(jnp.asarray(deltas), jnp.asarray(boxes), (10, 10, 5, 5)))
+        w, h = 40.0, 60.0
+        cx, cy = 30.0, 50.0
+        ncx = cx + 0.01 * w
+        ncy = cy - 0.02 * h
+        nw = w * np.exp(0.06)
+        nh = h * np.exp(0.01)
+        want = [ncx - nw / 2, ncy - nh / 2, ncx + nw / 2, ncy + nh / 2]
+        np.testing.assert_allclose(got[0], want, rtol=1e-5)
+
+    def test_iou_matrix(self):
+        a = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+        iou = np.asarray(iou_matrix(a, b))[0]
+        np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-5)
+
+
+class TestAnchors:
+    def test_cell_anchor_areas_and_ratios(self):
+        anchors = cell_anchors([32], [0.5, 1.0, 2.0])
+        w = anchors[:, 2] - anchors[:, 0]
+        h = anchors[:, 3] - anchors[:, 1]
+        np.testing.assert_allclose(w * h, [1024] * 3, rtol=1e-5)
+        np.testing.assert_allclose(h / w, [0.5, 1.0, 2.0], rtol=1e-5)
+
+    def test_grid_layout(self):
+        anchors = grid_anchors((2, 3), 16, [32], [1.0])
+        assert anchors.shape == (6, 4)
+        # second anchor is the (y=0, x=1) cell, shifted by one stride in x
+        np.testing.assert_allclose(anchors[1] - anchors[0], [16, 0, 16, 0])
+        # row stride: anchor (y=1, x=0) shifted by one stride in y
+        np.testing.assert_allclose(anchors[3] - anchors[0], [0, 16, 0, 16])
+
+
+class TestROIAlign:
+    def test_constant_map(self):
+        fm = jnp.ones((16, 16, 3), jnp.float32) * 7.0
+        boxes = jnp.asarray([[8, 8, 40, 40]], jnp.float32)  # image coords, scale 1/4
+        out = roi_align(fm, boxes, 0.25, output_size=7, sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-6)
+
+    def test_linear_gradient_center(self):
+        # f(y, x) = x: pooled bin centers must reproduce x exactly under
+        # bilinear interpolation of a linear function.
+        x_ramp = jnp.broadcast_to(jnp.arange(32, dtype=jnp.float32)[None, :, None], (32, 32, 1))
+        boxes = jnp.asarray([[4, 4, 20, 20]], jnp.float32)  # scale 1.0
+        out = np.asarray(roi_align(x_ramp, boxes, 1.0, output_size=4, sampling_ratio=2))
+        # continuous coords: x1 = 4 - 0.5 = 3.5, bin width 4 -> centers at 5.5, 9.5, ...
+        np.testing.assert_allclose(out[0, 0, :, 0], [5.5, 9.5, 13.5, 17.5], rtol=1e-5)
+
+    def test_level_assignment(self):
+        boxes = jnp.asarray(
+            [[0, 0, 56, 56], [0, 0, 112, 112], [0, 0, 224, 224], [0, 0, 448, 448],
+             [0, 0, 1000, 1000]],
+            jnp.float32,
+        )
+        levels = np.asarray(assign_levels(boxes, 2, 5))
+        np.testing.assert_array_equal(levels, [2, 3, 4, 5, 5])
+
+
+class TestConvOps:
+    def test_conv2d_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.standard_normal((1, 5, 9, 9)).astype(np.float32)
+        w = rng.standard_normal((4, 5, 3, 3)).astype(np.float32)
+        b = rng.standard_normal(4).astype(np.float32)
+        want = torch.nn.functional.conv2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b), padding=1
+        ).numpy()
+        from eventful_transformer_tpu.ops.conv import conv2d
+
+        got = conv2d(
+            jnp.asarray(np.moveaxis(x, 1, -1)),
+            jnp.asarray(w.transpose(2, 3, 1, 0)),
+            jnp.asarray(b),
+            padding=1,
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(got), -1, 1), want, rtol=1e-4, atol=1e-5
+        )
+
+    def test_conv_transpose_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.standard_normal((1, 6, 4, 4)).astype(np.float32)
+        w = rng.standard_normal((6, 3, 2, 2)).astype(np.float32)  # torch (Cin, Cout, kh, kw) -> ours (kh, kw, Cout, Cin)
+        b = rng.standard_normal(3).astype(np.float32)
+        want = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b), stride=2
+        ).numpy()
+        from eventful_transformer_tpu.ops.conv import conv_transpose2d
+
+        got = conv_transpose2d(
+            jnp.asarray(np.moveaxis(x, 1, -1)),
+            jnp.asarray(w.transpose(2, 3, 1, 0)),
+            jnp.asarray(b),
+            stride=2,
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(got), -1, 1), want, rtol=1e-4, atol=1e-5
+        )
+
+
+TINY_VITDET = dict(
+    classes=5,
+    input_shape=[3, 64, 64],
+    normalize_mean=[123.675, 116.28, 103.53],
+    normalize_std=[58.395, 57.12, 57.375],
+    output_channels=32,
+    patch_size=[16, 16],
+    scale_factors=[4.0, 2.0, 1.0, 0.5],
+    backbone_config=dict(
+        depth=2,
+        position_encoding_size=[4, 4],
+        window_indices=[0],
+        block_config=dict(dim=48, heads=6, mlp_ratio=2, window_size=[2, 2]),
+    ),
+    rpn_config=dict(pre_nms_topk=200, post_nms_topk=50),
+    roi_config=dict(test_topk_per_image=20),
+)
+
+
+class TestViTDetEndToEnd:
+    def test_dense_forward(self, rng):
+        config = dict(TINY_VITDET)
+        model = ViTDet(**config)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+        frame = rng.integers(0, 255, (1, 3, 56, 60), dtype=np.uint8)
+        result, state = model.apply(Ctx(), params, state, frame)
+        assert result["boxes"].shape == (20, 4)
+        assert result["scores"].shape == (20,)
+        assert result["labels"].shape == (20,)
+        assert np.isfinite(np.asarray(result["boxes"])).all()
+
+    def test_eventful_multi_frame(self, rng):
+        from eventful_transformer_tpu.core.gating import TokenGate
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+        from eventful_transformer_tpu.utils.misc import set_policies
+
+        config = dict(TINY_VITDET)
+        config["backbone_config"] = dict(
+            TINY_VITDET["backbone_config"],
+            block_class="EventfulBlock",
+            windowed_class="EventfulTokenwiseBlock",
+        )
+        model = ViTDet(**config)
+        set_policies(model, TokenNormTopK, k=16)  # full budget (4x4 grid)
+        dense = ViTDet(**TINY_VITDET)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+        frames = rng.integers(0, 255, (3, 1, 3, 56, 60), dtype=np.uint8)
+        for t in range(3):
+            result, state = model.apply(Ctx(), params, state, frames[t])
+            want, _ = dense.apply(Ctx(), params, {"blocks": [{}, {}]}, frames[t])
+            np.testing.assert_allclose(
+                np.asarray(result["boxes"]), np.asarray(want["boxes"]),
+                rtol=1e-3, atol=1e-3,
+            )
+
+
+class TestMeanAP:
+    def test_perfect_predictions(self):
+        from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+
+        m = MeanAveragePrecision()
+        target = {"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32),
+                  "labels": np.array([1, 2])}
+        pred = {"boxes": target["boxes"], "scores": np.array([0.9, 0.8]),
+                "labels": target["labels"]}
+        m.update([pred], [target])
+        out = m.compute()
+        assert out["map"] == pytest.approx(1.0)
+        assert out["map_50"] == pytest.approx(1.0)
+
+    def test_half_matched(self):
+        from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+
+        m = MeanAveragePrecision()
+        target = {"boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32),
+                  "labels": np.array([0, 0])}
+        # one exact match (high score), one total miss (low score)
+        pred = {"boxes": np.array([[0, 0, 10, 10], [100, 100, 110, 110]], np.float32),
+                "scores": np.array([0.9, 0.8]), "labels": np.array([0, 0])}
+        m.update([pred], [target])
+        out = m.compute()
+        # recall caps at 0.5 with precision 1.0 up to that point:
+        # 101-pt AP = 51/101
+        assert out["map_50"] == pytest.approx(51 / 101, abs=1e-6)
+
+    def test_localization_quality_affects_map(self):
+        from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+
+        m = MeanAveragePrecision()
+        target = {"boxes": np.array([[0, 0, 10, 10]], np.float32), "labels": np.array([0])}
+        pred = {"boxes": np.array([[0, 0, 10, 8]], np.float32),  # IoU 0.8
+                "scores": np.array([0.9]), "labels": np.array([0])}
+        m.update([pred], [target])
+        out = m.compute()
+        assert out["map_50"] == pytest.approx(1.0)
+        assert out["map_75"] == pytest.approx(1.0)  # IoU 0.8 >= 0.75
+        assert out["map"] == pytest.approx(7 / 10, abs=1e-6)  # passes 0.5..0.8
