@@ -53,48 +53,40 @@ def _one_hot_rows(index, mask, n, ndim, dtype):
     return oh.reshape(shape)
 
 
-def _inverse_index(index, mask, n):
-    """Invert a (..., k) slot->position index into a (..., n) position->slot
-    map plus a coverage mask. Invalid slots are dropped (redirected
-    out-of-bounds). This is a TINY int scatter (B x n elements), cheap on TPU
-    unlike value scatters."""
-    k = index.shape[-1]
-    if mask is not None:
-        index = jnp.where(mask, index, n)
-    slots = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), index.shape)
-    inv = jnp.zeros(index.shape[:-1] + (n,), jnp.int32)
-    inv = jnp.put_along_axis(inv, index, slots, axis=-1, inplace=False, mode="drop")
-    cov = jnp.zeros(index.shape[:-1] + (n,), bool)
-    cov = jnp.put_along_axis(
-        cov, index, jnp.ones(index.shape, bool), axis=-1, inplace=False, mode="drop"
-    )
-    return inv, cov
-
-
 def put_rows(x, index, values, mask=None):
     """Scatter rows into x at ``index``; entries with mask=False are no-ops.
 
-    TPU-first formulation: XLA value-scatter is ~50x slower than compute on
-    these shapes (measured), and a one-hot matmul costs N*k*C real FLOPs.
-    Instead: invert the index (tiny int scatter), GATHER the values by the
-    inverse permutation, and select — zero FLOPs, pure memory traffic.
-    Bit-identical to the reference's ``scatter_(dim=-2, ...)``.
+    TPU-first formulation (chosen empirically — see docs/PERF_NOTES.md):
+    XLA value-scatters are ~50x slower than the MXU on these shapes, and even
+    tiny int scatters (an inverse-permutation index) are slow, so the scatter
+    is a one-hot matmul + coverage blend:
+
+        out = x * (1 - covered) + one_hotᵀ @ values
+
+    ``covered`` is exactly 0/1, so untouched rows are bit-identical to x and
+    touched rows are bit-identical to values (one nonzero per one-hot row).
+    Equivalent to the reference's ``scatter_(dim=-2, ...)``.
     """
-    inv, cov = _inverse_index(index, mask, x.shape[-2])
-    gathered = jnp.take_along_axis(
-        values, expand_row_index(inv, values.ndim), axis=-2
+    n = x.shape[-2]
+    oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
+    scattered = jnp.matmul(
+        jnp.swapaxes(oh, -1, -2), values.astype(x.dtype), preferred_element_type=x.dtype
     )
-    return jnp.where(expand_row_index(cov, x.ndim), gathered.astype(x.dtype), x)
+    covered = jnp.sum(oh, axis=-2)[..., None]  # (..., n, 1)
+    return x * (1 - covered) + scattered
 
 
 def put_cols(x, index, values, mask=None):
     """Scatter cols into x at ``index``; entries with mask=False are no-ops.
-    Inverse-permutation gather formulation (see put_rows)."""
-    inv, cov = _inverse_index(index, mask, x.shape[-1])
-    gathered = jnp.take_along_axis(
-        values, expand_col_index(inv, values.ndim), axis=-1
+    One-hot matmul formulation (see put_rows)."""
+    n = x.shape[-1]
+    oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
+    scattered = jnp.matmul(
+        values.astype(x.dtype), oh, preferred_element_type=x.dtype
     )
-    return jnp.where(expand_col_index(cov, x.ndim), gathered.astype(x.dtype), x)
+    covered = jnp.sum(oh, axis=-2)  # (..., n)
+    covered = covered[..., None, :]
+    return x * (1 - covered) + scattered
 
 
 def coverage(index, mask, n, ndim):

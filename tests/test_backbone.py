@@ -1,0 +1,67 @@
+"""Backbone-level tests: the homogeneous-stack lax.scan path must be
+numerically identical to the unrolled path (params, state and counts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import eventful_transformer_tpu.core.backbones as backbones
+from eventful_transformer_tpu.core.backbones import ViTBackbone
+from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.core.gating import TokenGate
+from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+CONFIG = dict(
+    depth=3,
+    position_encoding_size=[4, 4],
+    block_config=dict(dim=32, heads=4, mlp_ratio=2),
+)
+
+
+@pytest.fixture
+def force_unrolled(monkeypatch):
+    monkeypatch.setattr(
+        backbones.ViTBackbone, "homogeneous", property(lambda self: False)
+    )
+
+
+def _run(backbone, params, x, frames=3, k=None):
+    if k is not None:
+        for gate in backbone.modules_of_type(TokenGate):
+            gate.policy = TokenNormTopK(k)
+    state = backbone.init_state(x.shape[0])
+    ctx = Ctx(count_mode=True)
+    outs = []
+    for t in range(frames):
+        y, state = backbone.apply(ctx, params, state, x + 0.1 * t)
+        outs.append(np.asarray(y))
+    return np.stack(outs), {k: float(v) for k, v in ctx.counts.items()}
+
+
+class TestScannedBackbone:
+    @pytest.mark.parametrize("block_class,k", [("Block", None), ("EventfulBlock", 6)])
+    def test_scan_equals_unrolled(self, rng, monkeypatch, block_class, k):
+        backbone = ViTBackbone(block_class=block_class, input_size=(4, 4), **CONFIG)
+        assert backbone.homogeneous
+        params = backbone.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+        scanned, counts_scan = _run(backbone, params, x, k=k)
+        monkeypatch.setattr(
+            backbones.ViTBackbone, "homogeneous", property(lambda self: False)
+        )
+        unrolled, counts_unroll = _run(backbone, params, x, k=k)
+        np.testing.assert_allclose(scanned, unrolled, rtol=1e-5, atol=1e-6)
+        for key in counts_scan:
+            assert counts_scan[key] == pytest.approx(counts_unroll[key], rel=1e-6)
+
+    def test_windowed_mix_is_not_homogeneous(self):
+        backbone = ViTBackbone(
+            input_size=(4, 4),
+            depth=3,
+            position_encoding_size=[4, 4],
+            window_indices=[0, 1],
+            block_config=dict(dim=32, heads=4, mlp_ratio=2, window_size=[2, 2]),
+        )
+        assert not backbone.homogeneous
