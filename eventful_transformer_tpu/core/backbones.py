@@ -87,6 +87,8 @@ class ViTBackbone(Module):
         layer parameters: a 12x smaller program for ViViT-B, much faster XLA
         compiles, identical numerics."""
         first = self.blocks[0]
+        if first.ats_fraction is not None:
+            return False  # ATS shrinks token counts per block: shapes differ
         return all(
             type(b) is type(first) and vars(b).keys() == vars(first).keys()
             and all(

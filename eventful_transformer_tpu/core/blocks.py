@@ -275,7 +275,11 @@ class Block(Module):
         raw_scores = class_scores * jnp.linalg.norm(v, axis=-1)
         scores = raw_scores / jnp.sum(raw_scores[..., 1:], axis=-1, keepdims=True)
         scores = scores.at[..., 0].set(jnp.inf)  # always keep the class token
-        scores = scores.sum(axis=-3)  # sum over heads -> (batch, tokens)
+        # Sum scores over heads -> (batch, tokens). NOTE: the reference's
+        # ``scores.sum(dim=-3)`` (blocks.py:163) reduces the BATCH/VIEW axis
+        # of its 3-D scores — numerically valid only because its configs use
+        # 12 views == 12 heads; we implement the intended head reduction.
+        scores = scores.sum(axis=-2)
         n_select = self.n_select(scores.shape[-1])
         _, ats_indices = jax.lax.top_k(scores, n_select)
         ats_indices = jnp.sort(ats_indices.astype(jnp.int32), axis=-1)

@@ -53,6 +53,25 @@ def _one_hot_rows(index, mask, n, ndim, dtype):
     return oh.reshape(shape)
 
 
+# Route 3-D row scatters to the fused Pallas scatter-blend kernel. In
+# isolation the kernel beats the XLA one-hot path by ~20%, but inside the
+# full block XLA fuses the one-hot blend into the consumer (skip-add), which
+# the opaque pallas_call prevents — net slower end-to-end. Off by default;
+# see docs/PERF_NOTES.md.
+USE_PALLAS_BLEND = False
+
+
+def _pallas_blend_eligible(x, index):
+    if not USE_PALLAS_BLEND:
+        return False
+    if x.ndim != 3 or index.ndim != 2 or x.shape[-1] % 128 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def put_rows(x, index, values, mask=None):
     """Scatter rows into x at ``index``; entries with mask=False are no-ops.
 
@@ -65,8 +84,13 @@ def put_rows(x, index, values, mask=None):
 
     ``covered`` is exactly 0/1, so untouched rows are bit-identical to x and
     touched rows are bit-identical to values (one nonzero per one-hot row).
-    Equivalent to the reference's ``scatter_(dim=-2, ...)``.
+    Equivalent to the reference's ``scatter_(dim=-2, ...)``. On TPU, 3-D row
+    scatters route to the fused Pallas kernel (same semantics, one pass).
     """
+    if _pallas_blend_eligible(x, index):
+        from eventful_transformer_tpu.ops.pallas.scatter_blend import scatter_blend
+
+        return scatter_blend(x, values, index, mask)
     n = x.shape[-2]
     oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
     scattered = jnp.matmul(

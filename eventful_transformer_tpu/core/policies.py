@@ -29,11 +29,19 @@ def _vector_norm(e, axis, order):
 
 class TokenNormTopK:
     """Select the k tokens with the largest error norm
-    (reference policies.py:39-68)."""
+    (reference policies.py:39-68).
 
-    def __init__(self, k, order=2):
+    ``save_status=True`` caches the last input/output on the policy object
+    for debugging and visualization (reference policies.py:64-67). Only
+    meaningful outside jit (eager debugging) — under jit the cached values
+    are tracers from the last trace."""
+
+    def __init__(self, k, order=2, save_status=False):
         self.k = k
         self.order = order
+        self.save_status = save_status
+        self.last_input = None
+        self.last_output = None
 
     def capacity(self, n_tokens):
         return min(self.k, n_tokens)
@@ -44,6 +52,9 @@ class TokenNormTopK:
         norms = _vector_norm(e, norm_axis, self.order)
         k = self.capacity(norms.shape[-1])
         _, index = jax.lax.top_k(norms, k)
+        if self.save_status:
+            self.last_input = e
+            self.last_output = index
         return index.astype(jnp.int32), None  # None mask == all valid
 
 

@@ -65,3 +65,41 @@ class TestScannedBackbone:
             block_config=dict(dim=32, heads=4, mlp_ratio=2, window_size=[2, 2]),
         )
         assert not backbone.homogeneous
+
+
+class TestATS:
+    """ATS shrinks the token count through the stack. The reference's
+    head-score reduction (blocks.py:163, dim=-3) reduces its batch/view axis
+    and only works when views == heads; we reduce over heads (the intended
+    semantics) so no golden parity is possible — these are behavior tests."""
+
+    def test_ats_vivit_dense_and_eventful(self, rng):
+        from eventful_transformer_tpu.core.policies import TokenNormTopFraction
+        from eventful_transformer_tpu.models import FactorizedViViT
+        from eventful_transformer_tpu.utils.misc import set_policies
+
+        cfg = dict(
+            classes=10, input_shape=[8, 3, 32, 32], normalize_mean=0.45,
+            normalize_std=0.225, spatial_views=1, temporal_stride=2,
+            temporal_views=2, tubelet_shape=[2, 8, 8],
+            spatial_config=dict(
+                depth=2, position_encoding_size=[4, 4],
+                block_config=dict(dim=32, heads=4, mlp_ratio=2, ats_fraction=0.9),
+            ),
+            temporal_config=dict(
+                depth=1, position_encoding_size=[4],
+                block_config=dict(dim=32, heads=4, mlp_ratio=2),
+            ),
+        )
+        views = jnp.asarray(rng.standard_normal((1, 2, 8, 3, 32, 32)).astype(np.float32))
+        model = FactorizedViViT(**cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply_views(Ctx(), params, views)
+        assert float(out.sum()) == pytest.approx(1.0, abs=1e-4)
+        cfg_e = dict(cfg)
+        cfg_e["spatial_config"] = dict(cfg["spatial_config"], block_class="EventfulBlock")
+        model_e = FactorizedViViT(**cfg_e)
+        set_policies(model_e, TokenNormTopFraction, fraction=0.5)
+        out_e = jax.jit(lambda p, v: model_e.apply_views(Ctx(), p, v))(params, views)
+        assert float(out_e.sum()) == pytest.approx(1.0, abs=1e-4)
+        assert np.isfinite(np.asarray(out_e)).all()

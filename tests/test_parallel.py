@@ -124,3 +124,21 @@ class TestDryrun:
             )
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
+
+
+class TestDataParallelEval:
+    def test_dp_eval_matches_single_stream(self, devices):
+        from eventful_transformer_tpu.data import SyntheticVideoClassification
+        from eventful_transformer_tpu.parallel.evaluate import evaluate_vivit_metrics_dp
+        from eventful_transformer_tpu.utils.evaluate import evaluate_vivit_metrics
+
+        model = FactorizedViViT(**TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        data = SyntheticVideoClassification(n_items=6, n_frames=16, size=(32, 32), classes=16)
+        config = {"n_items": 6}
+        want = evaluate_vivit_metrics(model, params, data, config)
+        mesh = make_mesh((8,), ("data",))
+        got = evaluate_vivit_metrics_dp(model, params, data, config, mesh)
+        assert got["metrics"] == want["metrics"]
+        # Counts include padded duplicates in the final group; check keys only.
+        assert set(got["counts"]) == set(want["counts"])
