@@ -28,9 +28,14 @@ def _iou(boxes_a, boxes_b):
 
 
 class MeanAveragePrecision:
-    def __init__(self):
+    """``use_native=True`` (default) runs the greedy matching loop in the
+    C++ matcher (native/map_matcher.cpp) when a compiler is available,
+    falling back to the numpy implementation (identical results)."""
+
+    def __init__(self, use_native=True):
         self.predictions = []  # per image: dict(boxes, scores, labels)
         self.targets = []
+        self.use_native = use_native
 
     def reset(self):
         self.predictions, self.targets = [], []
@@ -84,6 +89,11 @@ class MeanAveragePrecision:
             return np.zeros(len(IOU_THRESHOLDS))
         records.sort(key=lambda r: -r[0])
 
+        if self.use_native:
+            native_aps = self._class_ap_native(records, n_gt)
+            if native_aps is not None:
+                return native_aps
+
         aps = np.zeros(len(IOU_THRESHOLDS))
         for ti, thresh in enumerate(IOU_THRESHOLDS):
             gt_used = {}
@@ -106,3 +116,54 @@ class MeanAveragePrecision:
             prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
             aps[ti] = prec_at.mean()
         return aps
+
+    def _class_ap_native(self, records, n_gt):
+        """Run the greedy matcher in C++ (native/map_matcher.cpp).
+        records: [(score, img_idx, iou_row)] sorted by score desc."""
+        import ctypes
+
+        from eventful_transformer_tpu.native import load
+
+        lib = load("map_matcher")
+        if lib is None:
+            return None
+        # Per-image GT offsets for THIS class (row lengths are per-image).
+        img_gt_len = {}
+        for _, img, row in records:
+            img_gt_len[img] = len(row)
+        images = sorted(img_gt_len)
+        img_pos = {img: i for i, img in enumerate(images)}
+        gt_offsets = np.zeros(len(images) + 1, np.int64)
+        for i, img in enumerate(images):
+            gt_offsets[i + 1] = gt_offsets[i] + img_gt_len[img]
+        det_image = np.asarray([img_pos[img] for _, img, _ in records], np.int32)
+        iou_flat = (
+            np.concatenate([row for _, _, row in records])
+            if records
+            else np.zeros(0)
+        ).astype(np.float32)
+        iou_offsets = np.zeros(len(records) + 1, np.int64)
+        for i, (_, _, row) in enumerate(records):
+            iou_offsets[i + 1] = iou_offsets[i] + len(row)
+        ap_out = np.zeros(len(IOU_THRESHOLDS), np.float64)
+        thresholds = IOU_THRESHOLDS.astype(np.float32)
+        points = RECALL_POINTS.astype(np.float32)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.class_ap(
+            ptr(det_image, ctypes.c_int32),
+            ptr(iou_flat, ctypes.c_float),
+            ptr(iou_offsets, ctypes.c_int64),
+            ptr(gt_offsets, ctypes.c_int64),
+            ctypes.c_int64(len(records)),
+            ctypes.c_int64(int(gt_offsets[-1])),
+            ctypes.c_int64(int(n_gt)),
+            ptr(thresholds, ctypes.c_float),
+            ctypes.c_int64(len(IOU_THRESHOLDS)),
+            ptr(points, ctypes.c_float),
+            ctypes.c_int64(len(RECALL_POINTS)),
+            ptr(ap_out, ctypes.c_double),
+        )
+        return np.where(ap_out < 0, np.nan, ap_out)

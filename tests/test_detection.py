@@ -270,3 +270,36 @@ class TestMeanAP:
         assert out["map_50"] == pytest.approx(1.0)
         assert out["map_75"] == pytest.approx(1.0)  # IoU 0.8 >= 0.75
         assert out["map"] == pytest.approx(7 / 10, abs=1e-6)  # passes 0.5..0.8
+
+
+class TestNativeMAP:
+    def test_native_matches_numpy(self, rng):
+        from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+        from eventful_transformer_tpu.native import load
+
+        if load("map_matcher") is None:
+            pytest.skip("no C++ toolchain")
+        preds, targets = [], []
+        for i in range(12):
+            n_gt = int(rng.integers(0, 6))
+            n_pr = int(rng.integers(0, 10))
+            base = rng.uniform(0, 80, (max(n_gt, 1), 2))
+            gt = np.concatenate([base, base + rng.uniform(5, 30, base.shape)], 1)[:n_gt]
+            pb = rng.uniform(0, 80, (n_pr, 2))
+            pr = np.concatenate([pb, pb + rng.uniform(5, 30, pb.shape)], 1)
+            # mix of near-GT and random boxes
+            for j in range(min(n_gt, n_pr)):
+                if rng.random() < 0.6:
+                    pr[j] = gt[j] + rng.normal(0, 2, 4)
+            targets.append({"boxes": gt.astype(np.float32),
+                            "labels": rng.integers(0, 3, n_gt)})
+            preds.append({"boxes": pr.astype(np.float32),
+                          "scores": rng.uniform(0.1, 1, n_pr).astype(np.float32),
+                          "labels": rng.integers(0, 3, n_pr)})
+        m_native = MeanAveragePrecision(use_native=True)
+        m_numpy = MeanAveragePrecision(use_native=False)
+        m_native.update(preds, targets)
+        m_numpy.update(preds, targets)
+        a, b = m_native.compute(), m_numpy.compute()
+        for key in ("map", "map_50", "map_75"):
+            assert a[key] == pytest.approx(b[key], abs=1e-9), key
