@@ -82,14 +82,29 @@ def run_evaluations(config, model_class, data, evaluate_function):
     completed = []
     output_dir = Path(config["_output"])
     output_dir.mkdir(parents=True, exist_ok=True)
+    # Optional resume: skip sweep entries already present in metrics.csv
+    # (SURVEY.md §5: eval-resume from CSV row count).
+    skip = 0
+    metrics_csv = output_dir / "metrics.csv"
+    if config.get("resume") and metrics_csv.is_file():
+        skip = max(len(metrics_csv.read_text().strip().splitlines()) - 1, 0)
+        print(f"Resuming: skipping {skip} completed sweep entries", flush=True)
 
     def do_evaluation(title):
+        nonlocal skip
+        if skip > 0:
+            skip -= 1
+            completed.append(title)
+            return
         with open(output_dir / "output.txt", "a") as tee_file:
             results = evaluate_function(model, params, data, config)
             tee_print(title, tee_file)
             tee_print(get_device_description(), tee_file)
             if isinstance(results, dict):
-                save_csv_results(results, output_dir, first_run=(len(completed) == 0))
+                save_csv_results(
+                    results, output_dir,
+                    first_run=(len(completed) == 0 and not metrics_csv.is_file()),
+                )
                 for key, val in results.items():
                     tee_print(key.capitalize(), tee_file)
                     tee_print(dict_string(val), tee_file)

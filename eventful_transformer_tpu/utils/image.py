@@ -67,3 +67,36 @@ def write_image(filename, image):
     if image.ndim == 3 and image.shape[0] in (1, 3):
         image = np.moveaxis(image, 0, -1)
     Image.fromarray(as_uint8(image)).save(str(filename))
+
+
+def write_video(filename, video, fps=30, is_chw=True):
+    """Write a video via ffmpeg (reference utils/image.py:91-97 uses
+    torchvision; host-side ffmpeg keeps the model path dependency-free)."""
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    video = np.asarray(video)
+    if is_chw:
+        video = np.moveaxis(video, 1, -1)
+    video = as_uint8(video)
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in range(video.shape[0]):
+            write_image(Path(tmp) / f"{t:06d}.png", video[t])
+        try:
+            code = subprocess.call(
+                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+                 "-i", str(Path(tmp) / "%06d.png"), str(filename)]
+            )
+        except FileNotFoundError:
+            # No ffmpeg: fall back to an animated GIF via PIL.
+            from PIL import Image
+
+            frames = [Image.fromarray(video[t]) for t in range(video.shape[0])]
+            gif = Path(filename).with_suffix(".gif")
+            frames[0].save(gif, save_all=True, append_images=frames[1:],
+                           duration=int(1000 / fps), loop=0)
+            print(f"WARNING: ffmpeg not found; wrote {gif} instead", flush=True)
+            return
+    if code != 0:
+        raise RuntimeError(f"ffmpeg failed writing {filename}")

@@ -103,6 +103,7 @@ def train_vivit_temporal(config, train_data, val_data, model_class=None):
     mean_loss, top_1, top_5 = MeanValue(), TopKAccuracy(1), TopKAccuracy(5)
     history = []
     rng = jax.random.PRNGKey(42)
+    tensorboard = _make_tensorboard(config)
 
     def log_epoch(key, step):
         entry = {
@@ -113,6 +114,10 @@ def train_vivit_temporal(config, train_data, val_data, model_class=None):
             "top_5": top_5.compute(),
         }
         history.append(entry)
+        if tensorboard is not None:
+            tensorboard.add_scalars("loss", {key: entry["loss"]}, step)
+            tensorboard.add_scalars("top_1", {key: entry["top_1"]}, step)
+            tensorboard.add_scalars("top_5", {key: entry["top_5"]}, step)
         print(
             f"Loss: {entry['loss']:.4f}; Top-1: {entry['top_1']:.4f}; "
             f"Top-5: {entry['top_5']:.4f}",
@@ -148,7 +153,26 @@ def train_vivit_temporal(config, train_data, val_data, model_class=None):
         print("Validation pass", flush=True)
         run_pass(epoch + 1, training=False)
 
+    if tensorboard is not None:
+        tensorboard.close()
     if config.get("output_weights"):
         save_params(config["output_weights"], params)
         print(f"Saved weights to {config['output_weights']}", flush=True)
     return params, history
+
+
+def _make_tensorboard(config):
+    """TensorBoard scalar logging (reference utils/train.py:41-57), gated on
+    the config key and on torch's SummaryWriter being importable."""
+    if "tensorboard" not in config:
+        return None
+    try:
+        from datetime import datetime
+
+        from torch.utils.tensorboard import SummaryWriter
+
+        now = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        return SummaryWriter(f"{config['tensorboard']}_{now}")
+    except Exception as exc:  # missing backend: log to console only
+        print(f"WARNING: tensorboard disabled ({exc})", flush=True)
+        return None
