@@ -47,3 +47,17 @@ def best_dp_tp_mesh(n_devices=None, max_tp=4, devices=None):
             tp = cand
             break
     return make_mesh((n // tp, tp), ("data", "model"), devices)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host initialization (jax.distributed) for pod slices. Single-
+    host/single-chip runs need not call this. Arguments default to the
+    standard TPU environment auto-detection."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
