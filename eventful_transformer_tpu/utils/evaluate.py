@@ -29,6 +29,15 @@ from eventful_transformer_tpu.utils.misc import TopKAccuracy, set_policies, tee_
 from eventful_transformer_tpu.utils.params import load_params
 
 
+def _progress(iterable):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, ncols=0)
+    except ImportError:
+        return iterable
+
+
 def get_device_description():
     d = jax.devices()[0]
     return f"{d.platform}:{d.device_kind} x{jax.device_count()}"
@@ -59,7 +68,7 @@ def evaluate_vivit_metrics(model, params, data, config):
     n_items = config.get("n_items") or len(data)
     n_items = min(n_items, len(data))
     total_counts = Counts()
-    for i in range(n_items):
+    for i in _progress(range(n_items)):
         video, label = data[i]
         views = model.preprocessing(np.asarray(video)[None])
         views = np.stack(views, axis=1)

@@ -15,6 +15,8 @@ embeddings done as matmuls.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 import jax
@@ -145,3 +147,23 @@ def convert_torch_state_dict(state_dict):
             leaf = "scale"
         out["/".join(path + [leaf])] = value
     return out
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): production checkpointing with atomicity and
+# async-friendly layout. The .npz format remains the default interchange.
+# ---------------------------------------------------------------------------
+
+
+def save_params_orbax(path, params):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(Path(path).absolute(), params, force=True)
+
+
+def load_params_orbax(path, like):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(Path(path).absolute(), like)

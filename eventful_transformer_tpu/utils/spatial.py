@@ -37,7 +37,13 @@ def compute_vivit_spatial(config, output_dir, data, model_class=None):
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    for i in range(len(data)):
+    try:
+        from tqdm import tqdm
+
+        indices = tqdm(range(len(data)), ncols=0)
+    except ImportError:
+        indices = range(len(data))
+    for i in indices:
         video, label = data[i]
         views = model.preprocessing(np.asarray(video)[None])
         spatial = step(np.stack(views, axis=1))

@@ -20,12 +20,32 @@ def load_reference():
         sys.path.insert(0, "/root/reference")
 
     if "torchvision" not in sys.modules:
+        import torch
+
         class InterpolationMode:
             BILINEAR = "bilinear"
             BICUBIC = "bicubic"
 
+        class Normalize:
+            """Minimal torchvision.transforms.Normalize (per-channel)."""
+
+            def __init__(self, mean, std):
+                def as_vec(v):
+                    t = torch.as_tensor(v, dtype=torch.float32)
+                    return t.reshape(-1, 1, 1)
+
+                self.mean = as_vec(mean)
+                self.std = as_vec(std)
+
+            def __call__(self, x):
+                return (x - self.mean) / self.std
+
         tv = _stub("torchvision")
-        transforms = _stub("torchvision.transforms", InterpolationMode=InterpolationMode)
+        transforms = _stub(
+            "torchvision.transforms",
+            InterpolationMode=InterpolationMode,
+            Normalize=Normalize,
+        )
         func = _stub("torchvision.transforms.functional")
         tv.transforms = transforms
         transforms.functional = func
