@@ -361,6 +361,15 @@ class EventfulTokenwiseBlock(Block):
         self.projection_accumulator = TokenBuffer()
         self.mlp_gate = gate_class()
         self.mlp_accumulator = TokenBuffer()
+        # TPU-first (exact): for TokenGate, every buffer row equals the op
+        # applied to the corresponding gate-state row, so the qkv/projection
+        # buffers can be RECOMPUTED from p with one dense matmul instead of
+        # maintaining buffer state + scatter-blends — trading near-free MXU
+        # FLOPs for HBM traffic (docs/PERF_NOTES.md). Reported FLOP counts
+        # stay at the reference's k-row semantics via valid_frac. Invalid for
+        # STGT (its p is overwritten with the full input each step) and for
+        # the MLP (recomputing would restore the full hidden-layer traffic).
+        self.recompute_buffers = not stgt
 
     @property
     def gates(self):
@@ -372,16 +381,17 @@ class EventfulTokenwiseBlock(Block):
         state.update(
             first=jnp.ones((), bool),
             qkv_gate=self.qkv_gate.init_state((batch, n_tokens, self.dim), dtype),
-            qkv_accumulator=self.qkv_accumulator.init_state(
-                (batch, n_tokens, 3 * self.dim), dtype
-            ),
             projection_gate=self.projection_gate.init_state((batch, n_out, self.dim), dtype),
-            projection_accumulator=self.projection_accumulator.init_state(
-                (batch, n_out, self.dim), dtype
-            ),
             mlp_gate=self.mlp_gate.init_state((batch, n_out, self.dim), dtype),
             mlp_accumulator=self.mlp_accumulator.init_state((batch, n_out, self.dim), dtype),
         )
+        if not self.recompute_buffers:
+            state["qkv_accumulator"] = self.qkv_accumulator.init_state(
+                (batch, n_tokens, 3 * self.dim), dtype
+            )
+            state["projection_accumulator"] = self.projection_accumulator.init_state(
+                (batch, n_out, self.dim), dtype
+            )
         return state
 
     def apply(self, ctx: Ctx, params, state, x, aux=None):
@@ -403,7 +413,10 @@ class EventfulTokenwiseBlock(Block):
             x = layer_norm(x, params["input_layer_norm"], LN_EPS)
             _, state["qkv_gate"] = self.qkv_gate.flush(state["qkv_gate"], x)
         x = self.qkv.apply(ctx, params["qkv"], x)
-        x, state["qkv_accumulator"] = self.qkv_accumulator.flush(state["qkv_accumulator"], x)
+        if not self.recompute_buffers:
+            x, state["qkv_accumulator"] = self.qkv_accumulator.flush(
+                state["qkv_accumulator"], x
+            )
         x, ats_indices, state = self._attention_flush(ctx, params, state, x, aux)
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
         x = self._post_attention(ctx, params, state, x, skip_1, flush=True)
@@ -420,10 +433,19 @@ class EventfulTokenwiseBlock(Block):
         x_t, index, mask, state["qkv_gate"] = self._gate_ln(
             ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
         )
-        x_t = self.qkv.apply(ctx, params["qkv"], x_t, valid_frac=valid_fraction(mask))
-        x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
-            state["qkv_accumulator"], x_t, index, mask
-        )
+        if self.recompute_buffers:
+            # buffer == qkv(p) exactly (p holds each token's value at its
+            # last update); recompute densely instead of scatter-blending.
+            p = state["qkv_gate"]["p"]
+            if self.gate_before_ln:
+                p = layer_norm(p, params["input_layer_norm"], LN_EPS)
+            frac = (index.shape[-1] / p.shape[-2]) * valid_fraction(mask)
+            x = self.qkv.apply(ctx, params["qkv"], p, valid_frac=frac)
+        else:
+            x_t = self.qkv.apply(ctx, params["qkv"], x_t, valid_frac=valid_fraction(mask))
+            x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
+                state["qkv_accumulator"], x_t, index, mask
+            )
         x, ats_indices, state = self._attention_incremental(
             ctx, params, state, x, index, mask, aux
         )
@@ -452,19 +474,27 @@ class EventfulTokenwiseBlock(Block):
                 state["projection_gate"], x
             )
             x = self.projection.apply(ctx, params["projection"], x)
-            x, state["projection_accumulator"] = self.projection_accumulator.flush(
-                state["projection_accumulator"], x
-            )
+            if not self.recompute_buffers:
+                x, state["projection_accumulator"] = self.projection_accumulator.flush(
+                    state["projection_accumulator"], x
+                )
         else:
             x_t, index, mask, state["projection_gate"] = self.projection_gate.incremental(
                 ctx, state["projection_gate"], x
             )
-            x_t = self.projection.apply(
-                ctx, params["projection"], x_t, valid_frac=valid_fraction(mask)
-            )
-            x, state["projection_accumulator"] = self.projection_accumulator.incremental(
-                state["projection_accumulator"], x_t, index, mask
-            )
+            if self.recompute_buffers:
+                p = state["projection_gate"]["p"]
+                frac = (index.shape[-1] / p.shape[-2]) * valid_fraction(mask)
+                x = self.projection.apply(ctx, params["projection"], p, valid_frac=frac)
+            else:
+                x_t = self.projection.apply(
+                    ctx, params["projection"], x_t, valid_frac=valid_fraction(mask)
+                )
+                x, state["projection_accumulator"] = (
+                    self.projection_accumulator.incremental(
+                        state["projection_accumulator"], x_t, index, mask
+                    )
+                )
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
         skip_2 = x
         if flush:

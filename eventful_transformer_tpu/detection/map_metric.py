@@ -68,7 +68,6 @@ class MeanAveragePrecision:
 
     def _class_ap(self, cls):
         # Gather detections and ground truths for this class.
-        scores, matches_per_iou = [], []
         n_gt = 0
         records = []  # (score, iou_row to gts of this image)
         for img_idx, (pred, target) in enumerate(zip(self.predictions, self.targets)):
