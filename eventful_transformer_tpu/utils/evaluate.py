@@ -138,8 +138,6 @@ def run_evaluations(config, model_class, data, evaluate_function):
 
 
 def _load_model_params(model, config):
-    import jax.numpy as jnp  # noqa: F401
-
     weights = config.get("weights")
     if weights and Path(weights).is_file():
         template = model.init(jax.random.PRNGKey(0))

@@ -19,7 +19,6 @@ from pathlib import Path
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 
