@@ -102,6 +102,8 @@ class TestEventfulBlocksGolden:
                 "EventfulTokenwiseBlock",
                 dict(input_size=(8, 8), window_size=(4, 4), relative_embedding_size=(3, 3)),
             ),
+            # ragged window padding path (7x5 tokens, 4x4 windows)
+            ("EventfulTokenwiseBlock", dict(input_size=(7, 5), window_size=(4, 4))),
             ("EventfulMatmul1Block", dict(input_size=(4, 6))),
             ("EventfulMatmul1Block", dict(input_size=(8, 8), pool_size=2)),
             ("EventfulBlock", dict(input_size=(4, 6))),
@@ -205,3 +207,31 @@ class TestPositionEmbeddingsGolden:
             want = ref(torch.from_numpy(x.copy()), torch.from_numpy(q), inplace=False).numpy()
         got = ours.apply(Ctx(), params, jnp.asarray(x), jnp.asarray(q))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+class TestThresholdPolicyInBlock:
+    def test_threshold_multi_frame_golden(self, rng):
+        """Threshold policy (variable-k in the reference, fixed capacity +
+        mask here) at the block level, batch 1 (the reference's constraint,
+        policies.py:25)."""
+        from eventful_transformer_tpu.core.policies import TokenNormThreshold
+
+        kwargs = dict(input_size=(4, 6))
+        ref_block = _seed_torch_block(REF.blocks.EventfulTokenwiseBlock, **kwargs)
+        ours = EventfulTokenwiseBlock(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+        params = torch_block_params(ref_block)
+        for m in ref_block.modules():
+            if type(m) is REF.modules.TokenGate:
+                m.policy = REF.policies.TokenNormThreshold(1.5)
+        for gate in (ours.qkv_gate, ours.projection_gate, ours.mlp_gate):
+            gate.policy = TokenNormThreshold(1.5)
+        state = ours.init_state(1, 24)
+        base = rng.standard_normal((1, 24, DIM)).astype(np.float32)
+        for t in range(4):
+            x = base + 0.2 * t * rng.standard_normal((1, 24, DIM)).astype(np.float32)
+            with torch.inference_mode():
+                want = ref_block(torch.from_numpy(x.copy())).numpy()
+            got, state = ours.apply(Ctx(), params, state, jnp.asarray(x))
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=1e-3, atol=1e-4, err_msg=f"frame {t}"
+            )
