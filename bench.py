@@ -20,12 +20,23 @@ frames follow the reference protocol (SURVEY.md §6).
 
 import argparse
 import json
-
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# XLA compiles (first run unchanged).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_bench")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 
 def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
