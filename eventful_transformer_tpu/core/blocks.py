@@ -370,6 +370,22 @@ class EventfulTokenwiseBlock(Block):
         # STGT (its p is overwritten with the full input each step) and for
         # the MLP (recomputing would restore the full hidden-layer traffic).
         self.recompute_buffers = not stgt
+        # Fuse the gate group (LN + error norms; state-select + op matmul)
+        # into Pallas kernels (ops/pallas/gate_fused.py): "auto" enables on
+        # TPU; True forces (interpret mode off-TPU, for tests).
+        self.fused_gates = "auto"
+
+    def _use_fused_gates(self):
+        if not self.recompute_buffers or self.fused_gates is False:
+            return False
+        if self.fused_gates is True:
+            return True
+        try:
+            import jax
+
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
 
     @property
     def gates(self):
@@ -430,22 +446,36 @@ class EventfulTokenwiseBlock(Block):
     def _apply_incremental(self, ctx, params, state, x, aux):
         state = dict(state)
         skip_1 = x
-        x_t, index, mask, state["qkv_gate"] = self._gate_ln(
-            ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
-        )
-        if self.recompute_buffers:
-            # buffer == qkv(p) exactly (p holds each token's value at its
-            # last update); recompute densely instead of scatter-blending.
-            p = state["qkv_gate"]["p"]
-            if self.gate_before_ln:
-                p = layer_norm(p, params["input_layer_norm"], LN_EPS)
-            frac = (index.shape[-1] / p.shape[-2]) * valid_fraction(mask)
-            x = self.qkv.apply(ctx, params["qkv"], p, valid_frac=frac)
-        else:
-            x_t = self.qkv.apply(ctx, params["qkv"], x_t, valid_frac=valid_fraction(mask))
-            x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
-                state["qkv_accumulator"], x_t, index, mask
+        if self._use_fused_gates():
+            x, index, mask, state["qkv_gate"] = self._fused_gate_group(
+                ctx,
+                state["qkv_gate"],
+                x,
+                self.qkv_gate.policy,
+                params["input_layer_norm"],
+                self.qkv,
+                params["qkv"],
+                ln_mode="pre" if self.gate_before_ln else "post",
             )
+        else:
+            x_t, index, mask, state["qkv_gate"] = self._gate_ln(
+                ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
+            )
+            if self.recompute_buffers:
+                # buffer == qkv(p) exactly (p holds each token's value at its
+                # last update); recompute densely instead of scatter-blending.
+                p = state["qkv_gate"]["p"]
+                if self.gate_before_ln:
+                    p = layer_norm(p, params["input_layer_norm"], LN_EPS)
+                frac = (index.shape[-1] / p.shape[-2]) * valid_fraction(mask)
+                x = self.qkv.apply(ctx, params["qkv"], p, valid_frac=frac)
+            else:
+                x_t = self.qkv.apply(
+                    ctx, params["qkv"], x_t, valid_frac=valid_fraction(mask)
+                )
+                x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
+                    state["qkv_accumulator"], x_t, index, mask
+                )
         x, ats_indices, state = self._attention_incremental(
             ctx, params, state, x, index, mask, aux
         )
@@ -455,6 +485,82 @@ class EventfulTokenwiseBlock(Block):
 
     def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
         return self._forward_attention(ctx, params, state, x, aux)
+
+    def _fused_gate_group(
+        self, ctx, gate_state, x, policy, ln_params, linear, linear_params, ln_mode
+    ):
+        """Gate + state-select + op recompute via the fused Pallas kernels
+        (ops/pallas/gate_fused.py). Exact semantics of the unfused path;
+        reference-parity FLOP counts added manually."""
+        import jax
+
+        from eventful_transformer_tpu.core.indexing import coverage
+        from eventful_transformer_tpu.ops.pallas.gate_fused import (
+            ln_norms,
+            ln_select_matmul,
+        )
+
+        interpret = jax.devices()[0].platform == "cpu"
+        p = gate_state["p"]
+        ctx.add("gate_flops", x.size)
+        if ln_mode == "post":
+            norms = ln_norms(
+                x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
+            )
+        else:  # "pre" or "none": error in the input domain
+            norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
+        index, mask = policy.select_from_norms(norms)
+        cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
+        if ln_mode == "none":
+            scale = jnp.ones((x.shape[-1],), jnp.float32)
+            bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        else:
+            scale, bias = ln_params["scale"], ln_params["bias"]
+        p_new, y = ln_select_matmul(
+            x,
+            p,
+            cov,
+            scale,
+            bias,
+            linear_params["kernel"],
+            linear_params["bias"],
+            ln_mode=ln_mode,
+            interpret=interpret,
+        )
+        frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
+        ctx.add("linear_flops", frac * (x.size * linear.out_features))
+        ctx.add("bias_flops", frac * y.size)
+        return y, index, mask, {"p": p_new}
+
+    def _fused_gate_select(self, ctx, gate_state, x, policy, ln_params):
+        """Fused gate for gathered (non-recompute) groups — the MLP: fused
+        norms + fused state-select; the gathered op input rows are read back
+        from p' itself (selected rows of p' ARE ln(x) rows — no full-size
+        LN materialization)."""
+        import jax
+
+        from eventful_transformer_tpu.core.indexing import coverage
+        from eventful_transformer_tpu.ops.pallas.gate_fused import ln_norms, ln_select
+
+        interpret = jax.devices()[0].platform == "cpu"
+        p = gate_state["p"]
+        ctx.add("gate_flops", x.size)
+        if self.gate_before_ln:
+            norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
+        else:
+            norms = ln_norms(
+                x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
+            )
+        index, mask = policy.select_from_norms(norms)
+        cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
+        p_new = ln_select(
+            x, p, cov, ln_params["scale"], ln_params["bias"],
+            apply_ln=not self.gate_before_ln, interpret=interpret,
+        )
+        rows = take_rows(p_new, index)
+        if self.gate_before_ln:
+            rows = layer_norm(rows, ln_params, LN_EPS)
+        return rows, index, mask, {"p": p_new}
 
     def _gate_ln(self, ctx, ln_params, gate, gate_state, x):
         """Gate placement around layer norm (reference blocks.py:440-461)."""
@@ -478,6 +584,17 @@ class EventfulTokenwiseBlock(Block):
                 x, state["projection_accumulator"] = self.projection_accumulator.flush(
                     state["projection_accumulator"], x
                 )
+        elif self._use_fused_gates():
+            x, index, mask, state["projection_gate"] = self._fused_gate_group(
+                ctx,
+                state["projection_gate"],
+                x,
+                self.projection_gate.policy,
+                None,
+                self.projection,
+                params["projection"],
+                ln_mode="none",
+            )
         else:
             x_t, index, mask, state["projection_gate"] = self.projection_gate.incremental(
                 ctx, state["projection_gate"], x
@@ -507,6 +624,15 @@ class EventfulTokenwiseBlock(Block):
             x = self._forward_mlp(ctx, params, x)
             x, state["mlp_accumulator"] = self.mlp_accumulator.flush(
                 state["mlp_accumulator"], x
+            )
+        elif self._use_fused_gates():
+            x_t, index, mask, state["mlp_gate"] = self._fused_gate_select(
+                ctx, state["mlp_gate"], x, self.mlp_gate.policy,
+                params["mlp_layer_norm"],
+            )
+            x_t = self._forward_mlp(ctx, params, x_t, valid_frac=valid_fraction(mask))
+            x, state["mlp_accumulator"] = self.mlp_accumulator.incremental(
+                state["mlp_accumulator"], x_t, index, mask
             )
         else:
             x_t, index, mask, state["mlp_gate"] = self._gate_ln(

@@ -50,11 +50,17 @@ class TokenNormTopK:
         """e: error tensor; norm reduced over ``norm_axis``; token axis is the
         remaining trailing axis. Returns (index, mask)."""
         norms = _vector_norm(e, norm_axis, self.order)
-        k = self.capacity(norms.shape[-1])
-        _, index = jax.lax.top_k(norms, k)
+        index, mask = self.select_from_norms(norms)
         if self.save_status:
             self.last_input = e
             self.last_output = index
+        return index, mask
+
+    def select_from_norms(self, norms):
+        """Select from precomputed error norms (..., N) — used by fused
+        kernels that produce the norms themselves."""
+        k = self.capacity(norms.shape[-1])
+        _, index = jax.lax.top_k(norms, k)
         return index.astype(jnp.int32), None  # None mask == all valid
 
 
@@ -87,7 +93,9 @@ class TokenNormThreshold:
         return n_tokens if self._capacity is None else min(self._capacity, n_tokens)
 
     def select(self, e, norm_axis):
-        norms = _vector_norm(e, norm_axis, self.order)
+        return self.select_from_norms(_vector_norm(e, norm_axis, self.order))
+
+    def select_from_norms(self, norms):
         k = self.capacity(norms.shape[-1])
         values, index = jax.lax.top_k(norms, k)
         mask = values > self.threshold

@@ -235,3 +235,30 @@ class TestThresholdPolicyInBlock:
             np.testing.assert_allclose(
                 np.asarray(got), want, rtol=1e-3, atol=1e-4, err_msg=f"frame {t}"
             )
+
+
+class TestFusedGateGroup:
+    def test_fused_matches_reference(self, rng):
+        """The Pallas fused gate path (interpret mode on CPU) is golden-exact
+        incl. FLOP-count parity, both LN placements."""
+        for kwargs in (dict(input_size=(4, 6)), dict(input_size=(4, 6), gate_before_ln=True)):
+            ref_block = _seed_torch_block(REF.blocks.EventfulTokenwiseBlock, **kwargs)
+            ours = EventfulTokenwiseBlock(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+            ours.fused_gates = True  # force; CPU -> interpret mode
+            params = torch_block_params(ref_block)
+            _set_ref_policies(ref_block, 8)
+            _set_our_policies(ours, 8)
+            state = ours.init_state(1, 24)
+            base = rng.standard_normal((1, 24, DIM)).astype(np.float32)
+            ref_block.counting()
+            ctx = Ctx(count_mode=True)
+            for t in range(3):
+                x = base + 0.1 * t * rng.standard_normal((1, 24, DIM)).astype(np.float32)
+                with torch.inference_mode():
+                    want = ref_block(torch.from_numpy(x.copy())).numpy()
+                got, state = ours.apply(ctx, params, state, jnp.asarray(x))
+                np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+            ref_counts = dict(ref_block.total_counts())
+            our_counts = Counts.from_device(ctx.counts).nonzero()
+            for key, val in ref_counts.items():
+                assert our_counts[key] == pytest.approx(val, rel=1e-4), key
