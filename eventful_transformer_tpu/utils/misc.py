@@ -122,7 +122,7 @@ def parse_patterns(pattern_file):
     with open(pattern_file, "r") as text:
         for line in text:
             line = line.strip()
-            if line == "":
+            if line == "" or line.startswith("#"):
                 continue
             elif last_regex is None:
                 last_regex = re.compile(line)
