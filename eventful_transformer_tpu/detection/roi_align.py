@@ -19,8 +19,13 @@ import jax.numpy as jnp
 
 def _bilinear(features, y, x):
     """Sample features (H, W, C) at float coords; points outside
-    [-1, size] give 0 (detectron2 ROIAlign border semantics)."""
+    [-1, size] give 0 (detectron2 ROIAlign border semantics).
+
+    TPU-first: 2-D advanced indexing lowers to slow general gathers; flatten
+    the map and gather ROWS by linear index instead (fast on TPU)."""
     h, w = features.shape[:2]
+    c = features.shape[-1]
+    flat = features.reshape(h * w, c)
     outside = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
     y = jnp.clip(y, 0.0, h - 1)
     x = jnp.clip(x, 0.0, w - 1)
@@ -32,7 +37,8 @@ def _bilinear(features, y, x):
     lx = (x - x0).astype(features.dtype)
 
     def at(yi, xi):
-        return features[yi, xi]  # gathers: (..., C)
+        idx = (yi * w + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(yi.shape + (c,))
 
     val = (
         at(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
