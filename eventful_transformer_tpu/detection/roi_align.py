@@ -97,15 +97,67 @@ def multilevel_roi_align(
     output_size=7,
     sampling_ratio=2,
 ):
-    """Pool every roi from every level and blend with the one-hot level
-    assignment (static shapes; levels are few so the redundancy is small).
+    """Pool each roi from its assigned pyramid level, WITHOUT the pool-all-
+    levels-and-blend redundancy: the levels are packed into one flat
+    (sum H_l*W_l, C) map, and every roi samples it with per-roi level
+    parameters (scale / height / width / row offset) — one gather pass.
 
     features: list of (H_l, W_l, C); boxes (R, 4); scales: per-level 1/stride.
     Returns (R, output_size, output_size, C)."""
+    import numpy as np
+
     levels = assign_levels(boxes, min_level, max_level)
-    out = None
-    for i, (fm, scale) in enumerate(zip(features, scales)):
-        pooled = roi_align(fm, boxes, scale, output_size, sampling_ratio)
-        sel = (levels == (min_level + i)).astype(pooled.dtype)[:, None, None, None]
-        out = pooled * sel if out is None else out + pooled * sel
-    return out
+    c = features[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features])
+    heights = np.array([f.shape[0] for f in features])
+    widths = np.array([f.shape[1] for f in features])
+    offsets = np.concatenate([[0], np.cumsum(heights * widths)[:-1]])
+    li = levels - min_level
+    scale_r = jnp.asarray(np.asarray(scales, np.float32))[li]
+    h_r = jnp.asarray(heights, jnp.float32)[li]
+    w_r = jnp.asarray(widths, jnp.float32)[li]
+    w_int = jnp.asarray(widths, jnp.int32)[li]
+    off_r = jnp.asarray(offsets, jnp.int32)[li]
+
+    r = boxes.shape[0]
+    n = sampling_ratio
+    x1 = boxes[:, 0] * scale_r - 0.5
+    y1 = boxes[:, 1] * scale_r - 0.5
+    x2 = boxes[:, 2] * scale_r - 0.5
+    y2 = boxes[:, 3] * scale_r - 0.5
+    bin_w = (x2 - x1) / output_size
+    bin_h = (y2 - y1) / output_size
+    grid = jnp.arange(output_size, dtype=jnp.float32)
+    samp = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    ys = y1[:, None, None] + (grid[None, :, None] + samp[None, None, :]) * bin_h[:, None, None]
+    xs = x1[:, None, None] + (grid[None, :, None] + samp[None, None, :]) * bin_w[:, None, None]
+    y = jnp.broadcast_to(ys[:, :, None, :, None], (r, output_size, output_size, n, n))
+    x = jnp.broadcast_to(xs[:, None, :, None, :], (r, output_size, output_size, n, n))
+
+    def expand(v):
+        return v.reshape((r,) + (1,) * 4)
+
+    h_b, w_b = expand(h_r), expand(w_r)
+    outside = (y < -1.0) | (y > h_b) | (x < -1.0) | (x > w_b)
+    y = jnp.clip(y, 0.0, h_b - 1)
+    x = jnp.clip(x, 0.0, w_b - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, expand(h_r).astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0 + 1, expand(w_r).astype(jnp.int32) - 1)
+    ly = (y - y0).astype(flat.dtype)
+    lx = (x - x0).astype(flat.dtype)
+    off_b, wi_b = expand(off_r), expand(w_int)
+
+    def at(yi, xi):
+        idx = (off_b + yi * wi_b + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(yi.shape + (c,))
+
+    vals = (
+        at(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
+        + at(y0, x1i) * ((1 - ly) * lx)[..., None]
+        + at(y1i, x0) * (ly * (1 - lx))[..., None]
+        + at(y1i, x1i) * (ly * lx)[..., None]
+    )
+    vals = jnp.where(outside[..., None], 0.0, vals)
+    return vals.mean(axis=(3, 4))
