@@ -86,6 +86,12 @@ def put_rows(x, index, values, mask=None):
     touched rows are bit-identical to values (one nonzero per one-hot row).
     Equivalent to the reference's ``scatter_(dim=-2, ...)``. On TPU, 3-D row
     scatters route to the fused Pallas kernel (same semantics, one pass).
+
+    PRECONDITION: valid entries of ``index`` must be DISTINCT. A duplicate
+    makes ``covered`` exceed 1 and the blend produces ``-x + v1 + v2``
+    instead of torch ``scatter_``'s single-write. All framework call sites
+    satisfy this (top-k policies, deduped pooled indices); new forced-index
+    call sites must guarantee it too.
     """
     if _pallas_blend_eligible(x, index):
         from eventful_transformer_tpu.ops.pallas.scatter_blend import scatter_blend
@@ -102,7 +108,8 @@ def put_rows(x, index, values, mask=None):
 
 def put_cols(x, index, values, mask=None):
     """Scatter cols into x at ``index``; entries with mask=False are no-ops.
-    One-hot matmul formulation (see put_rows)."""
+    One-hot matmul formulation (see put_rows, including the distinct-indices
+    precondition)."""
     n = x.shape[-1]
     oh = _one_hot_rows(index, mask, n, x.ndim, x.dtype)  # (..., k, n)
     scattered = jnp.matmul(

@@ -145,8 +145,9 @@ class MeanAveragePrecision:
         for i, (_, _, row) in enumerate(records):
             iou_offsets[i + 1] = iou_offsets[i] + len(row)
         ap_out = np.zeros(len(IOU_THRESHOLDS), np.float64)
-        thresholds = IOU_THRESHOLDS.astype(np.float32)
-        points = RECALL_POINTS.astype(np.float32)
+        # float64 grids: recall ties must bin exactly like the numpy path.
+        thresholds = IOU_THRESHOLDS.astype(np.float64)
+        points = RECALL_POINTS.astype(np.float64)
 
         def ptr(a, t):
             return a.ctypes.data_as(ctypes.POINTER(t))
@@ -159,9 +160,9 @@ class MeanAveragePrecision:
             ctypes.c_int64(len(records)),
             ctypes.c_int64(int(gt_offsets[-1])),
             ctypes.c_int64(int(n_gt)),
-            ptr(thresholds, ctypes.c_float),
+            ptr(thresholds, ctypes.c_double),
             ctypes.c_int64(len(IOU_THRESHOLDS)),
-            ptr(points, ctypes.c_float),
+            ptr(points, ctypes.c_double),
             ctypes.c_int64(len(RECALL_POINTS)),
             ptr(ap_out, ctypes.c_double),
         )

@@ -133,18 +133,32 @@ class SimplePyramid(Module):
 
 class ViTDetPreprocessing:
     """Normalization + bottom-right square padding
-    (reference models/vitdet.py:223-251). Expects [0, 1]-scaled input."""
+    (reference models/vitdet.py:223-251). Expects [0, 1]-scaled input.
+
+    The reference normalizes FIRST and then zero-pads, so pretrained
+    weights expect exactly 0 in the padded region. Callers that hand in a
+    pre-padded fixed-shape frame (required for a single jit program over
+    variable-sized video frames) pass ``content_hw = (h, w)`` of the real
+    content; the padded region is re-zeroed after normalization so the
+    numerics match the reference regardless of what the host padded with.
+    """
 
     def __init__(self, input_shape, normalize_mean, normalize_std):
         self.input_shape = tuple(input_shape)
         self.mean = jnp.asarray(normalize_mean, jnp.float32).reshape(-1, 1, 1)
         self.std = jnp.asarray(normalize_std, jnp.float32).reshape(-1, 1, 1)
 
-    def __call__(self, x):
+    def __call__(self, x, content_hw=None):
         x = (x * 255.0 - self.mean) / self.std
         c, h, w = self.input_shape
         pads = [(0, 0)] * (x.ndim - 2) + [(0, h - x.shape[-2]), (0, w - x.shape[-1])]
-        return jnp.pad(x, pads)
+        x = jnp.pad(x, pads)
+        if content_hw is not None:
+            content_hw = jnp.asarray(content_hw)
+            rows = jnp.arange(h) < content_hw[0]
+            cols = jnp.arange(w) < content_hw[1]
+            x = x * (rows[:, None] & cols[None, :]).astype(x.dtype)
+        return x
 
 
 class ViTDet(Module):
@@ -202,14 +216,18 @@ class ViTDet(Module):
 
     # -- reference-parity split (models/vitdet.py:186-220) --------------------
 
-    def pre_backbone(self, ctx, params, x):
-        """x (B, C, H, W) any dtype -> tokens (B, N, dim)."""
+    def pre_backbone(self, ctx, params, x, content_hw=None):
+        """x (B, C, H, W) any dtype -> tokens (B, N, dim).
+
+        ``content_hw``: (h, w) of the real (non-padding) content when ``x``
+        was pre-padded host-side; see ViTDetPreprocessing.
+        """
         x = jnp.asarray(x)
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
         else:
             x = as_float32(np.asarray(x)) if isinstance(x, np.ndarray) else x
-        x = self.preprocessing(x)
+        x = self.preprocessing(x, content_hw)
         return self.embedding.apply(ctx, params["embedding"], x)
 
     def apply_backbone(self, ctx, params, state, tokens, aux=None):
@@ -229,7 +247,7 @@ class ViTDet(Module):
             params["roi_heads"], features[:4], proposals, mask, image_size
         )
 
-    def apply(self, ctx, params, state, x, aux=None):
-        tokens = self.pre_backbone(ctx, params, x)
+    def apply(self, ctx, params, state, x, aux=None, content_hw=None):
+        tokens = self.pre_backbone(ctx, params, x, content_hw)
         tokens, state = self.apply_backbone(ctx, params, state, tokens, aux)
         return self.post_backbone(ctx, params, tokens), state

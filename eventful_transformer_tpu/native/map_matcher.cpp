@@ -30,11 +30,13 @@ extern "C" {
 // n_gt_used:  GT slots of images that HAVE detections (used-flag storage)
 // n_gt_total: ALL GT of this class (recall denominator — includes images
 //             with no detections at all)
+// thresholds / recall_points are float64 so that recall values exactly on a
+// grid point (tp/n_gt rational ties) bin identically to the numpy fallback.
 void class_ap(const int32_t* det_image, const float* iou_flat,
               const int64_t* iou_offsets, const int64_t* gt_offsets,
               int64_t n_det, int64_t n_gt_used, int64_t n_gt_total,
-              const float* thresholds, int64_t n_thresh,
-              const float* recall_points, int64_t n_points,
+              const double* thresholds, int64_t n_thresh,
+              const double* recall_points, int64_t n_points,
               double* ap_out) {
   if (n_gt_total == 0) {
     for (int64_t t = 0; t < n_thresh; ++t) ap_out[t] = -1.0;  // undefined

@@ -7,8 +7,14 @@ DMAs exactly the k touched rows into the (aliased, in-place) buffer —
 O(k*C) traffic, zero FLOPs.
 
 Semantics match core.indexing.put_rows: distinct indices, mask=False slots
-are no-ops. Used via the ``use_pallas`` flag in core/indexing.py; numerics
-are bit-identical (pure row copies), verified against the XLA path in tests.
+are no-ops; numerics are bit-identical (pure row copies), verified against
+the XLA path in tests.
+
+STATUS: experimental / not wired into the framework path. Measured in
+isolation it beats the XLA one-hot blend, but an opaque pallas_call blocks
+XLA's consumer fusion so it loses end-to-end (docs/PERF_NOTES.md); only
+ops/pallas/scatter_blend.py is routable (behind indexing.USE_PALLAS_BLEND,
+default off). These kernels are exercised by tests/bench only.
 """
 
 from __future__ import annotations

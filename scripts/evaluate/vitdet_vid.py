@@ -25,9 +25,9 @@ def evaluate_vitdet_metrics(model, params, data, config):
     c, in_h, in_w = model.input_shape
 
     @jax.jit
-    def step(p, state, frame):
+    def step(p, state, frame, content_hw):
         ctx = Ctx(count_mode=True)
-        out, state = model.apply(ctx, p, state, frame)
+        out, state = model.apply(ctx, p, state, frame, content_hw=content_hw)
         return out, state, ctx.counts
 
     total_counts = Counts()
@@ -39,9 +39,13 @@ def evaluate_vitdet_metrics(model, params, data, config):
         for t in range(len(vid_item)):
             frame, annotations = vid_item[t]
             frame = np.asarray(frame, np.float32)
+            # Fixed-shape host padding; the model re-zeroes the padded
+            # region AFTER normalization (content_hw), matching the
+            # reference's normalize-then-zero-pad order.
             padded = np.zeros((1, c, in_h, in_w), np.float32)
             padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
-            out, state, counts = step(params, state, padded)
+            content_hw = np.asarray(frame.shape[-2:], np.int32)
+            out, state, counts = step(params, state, padded, content_hw)
             mask = np.asarray(out["mask"])
             mean_ap.update(
                 [

@@ -31,8 +31,8 @@ def evaluate_vitdet_runtime(model, params, data, config):
     other_non_first = MeanValue()
 
     @jax.jit
-    def pre(p, frame):
-        tokens = model.pre_backbone(Ctx(), p, frame)
+    def pre(p, frame, content_hw):
+        tokens = model.pre_backbone(Ctx(), p, frame, content_hw)
         return tokens, scalar_probe(tokens)
 
     @jax.jit
@@ -54,8 +54,9 @@ def evaluate_vitdet_runtime(model, params, data, config):
             frame = np.asarray(frame, np.float32)
             padded = np.zeros((1, c, in_h, in_w), np.float32)
             padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
+            content_hw = np.asarray(frame.shape[-2:], np.int32)
             t_0 = time.perf_counter()
-            tokens, probe = pre(params, padded)
+            tokens, probe = pre(params, padded, content_hw)
             float(probe)
             t_1 = time.perf_counter()
             tokens, state, probe = mid(params, state, tokens)
