@@ -40,7 +40,8 @@ except Exception:
 
 
 def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
-                block_class="EventfulTokenwiseBlock"):
+                block_class="EventfulTokenwiseBlock", fused=None):
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
     from eventful_transformer_tpu.core.gating import TokenGate
     from eventful_transformer_tpu.core.policies import TokenNormTopK
     from eventful_transformer_tpu.models import FactorizedViViT
@@ -73,6 +74,9 @@ def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
     if eventful:
         for gate in model.modules_of_type(TokenGate):
             gate.policy = TokenNormTopK(k=k)
+        if fused is not None:
+            for blk in model.modules_of_type(EventfulTokenwiseBlock):
+                blk.fused_gates = {"False": False}.get(fused, fused)
     return model
 
 
@@ -106,6 +110,8 @@ def main():
         "--dtype", default="bfloat16", choices=[None, "bfloat16", "float32"],
         help="compute dtype applied to BOTH models (bf16 is TPU-native serving precision)",
     )
+    parser.add_argument("--fused", default=None,
+        help="force gate-fusion mode on eventful blocks: v2mlp/v2/v1/False")
     parser.add_argument(
         "--block",
         default="EventfulTokenwiseBlock",
@@ -128,7 +134,8 @@ def main():
     dense = build_model(False, k, args.views, args.frames, args.size)
     dense_t = time_model(dense, views, args.iters, dtype=args.dtype)
     eventful = build_model(
-        True, k, args.views, args.frames, args.size, block_class=args.block
+        True, k, args.views, args.frames, args.size, block_class=args.block,
+        fused=args.fused,
     )
     eventful_t = time_model(eventful, views, args.iters, dtype=args.dtype)
 

@@ -370,22 +370,51 @@ class EventfulTokenwiseBlock(Block):
         # STGT (its p is overwritten with the full input each step) and for
         # the MLP (recomputing would restore the full hidden-layer traffic).
         self.recompute_buffers = not stgt
-        # Fuse the gate group (LN + error norms; state-select + op matmul)
-        # into Pallas kernels (ops/pallas/gate_fused.py): "auto" enables on
-        # TPU; True forces (interpret mode off-TPU, for tests).
+        # Gate-group fusion mode (ops/pallas/):
+        #   "auto"  — pick per shape on TPU (v2 single-pass kernels when the
+        #             whole (N, C) token block fits VMEM, v1 recompute
+        #             kernels at mid N, unfused at large N where the fused
+        #             kernels measured neutral-to-worse, docs/PERF_NOTES.md);
+        #   "v2"/"v1"/True — force (interpret mode off-TPU, for tests;
+        #             True == "v2");
+        #   False   — always unfused.
         self.fused_gates = "auto"
 
-    def _use_fused_gates(self):
-        if not self.recompute_buffers or self.fused_gates is False:
+    # v2 whole-block kernels hold one batch element's full (N, C) group in
+    # VMEM; v1 recompute kernels were measured neutral-to-worse at
+    # N = 1764 - 4096 (ViTDet), so auto mode turns fusion off there.
+    V2_MAX_TOKENS = 512
+    V1_MAX_TOKENS = 1024
+
+    def _fused_mode(self, n_tokens):
+        if self.stgt or self.fused_gates is False:
             return False
-        if self.fused_gates is True:
-            return True
+        if self.fused_gates == "v1":
+            return "v1" if self.recompute_buffers else False
+        if self.fused_gates in ("v2", "v2mlp", True):
+            return "v2" if self.fused_gates is True else self.fused_gates
         try:
             import jax
 
-            return jax.devices()[0].platform not in ("cpu",)
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
         except Exception:
+            on_tpu = False
+        if not on_tpu:
             return False
+        if (
+            n_tokens <= self.V2_MAX_TOKENS
+            and self.drop_path.drop_rate == 0.0
+            and self.ats_fraction is None
+        ):
+            # Measured (carried block step, B=32, N=197, bf16, k=98):
+            # v2mlp 835us < unfused 1004 < v1 1020 < full v2 1083 (the qkv/
+            # proj buffer state v2 adds costs more in scan-carry traffic
+            # than its gathered matmuls save; the MLP kernel is the clear
+            # win: 330 vs 652us, hidden never leaves VMEM).
+            return "v2mlp"
+        if n_tokens <= self.V1_MAX_TOKENS and self.recompute_buffers:
+            return "v1"
+        return False
 
     @property
     def gates(self):
@@ -401,7 +430,10 @@ class EventfulTokenwiseBlock(Block):
             mlp_gate=self.mlp_gate.init_state((batch, n_out, self.dim), dtype),
             mlp_accumulator=self.mlp_accumulator.init_state((batch, n_out, self.dim), dtype),
         )
-        if not self.recompute_buffers:
+        # qkv / projection buffers exist as state when gathered (unfused
+        # non-recompute, or v2 fused which computes on k rows and blends);
+        # the v1 recompute path derives them from p instead.
+        if not self.recompute_buffers or self._fused_mode(n_tokens) == "v2":
             state["qkv_accumulator"] = self.qkv_accumulator.init_state(
                 (batch, n_tokens, 3 * self.dim), dtype
             )
@@ -429,7 +461,7 @@ class EventfulTokenwiseBlock(Block):
             x = layer_norm(x, params["input_layer_norm"], LN_EPS)
             _, state["qkv_gate"] = self.qkv_gate.flush(state["qkv_gate"], x)
         x = self.qkv.apply(ctx, params["qkv"], x)
-        if not self.recompute_buffers:
+        if "qkv_accumulator" in state:
             x, state["qkv_accumulator"] = self.qkv_accumulator.flush(
                 state["qkv_accumulator"], x
             )
@@ -446,7 +478,24 @@ class EventfulTokenwiseBlock(Block):
     def _apply_incremental(self, ctx, params, state, x, aux):
         state = dict(state)
         skip_1 = x
-        if self._use_fused_gates():
+        mode = self._fused_mode(x.shape[-2])
+        if mode == "v2":
+            ln_mode = "pre" if self.gate_before_ln else "post"
+            (p_new, b_new), index, mask = self._v2_group_linear(
+                ctx,
+                self.qkv_gate,
+                state["qkv_gate"],
+                state["qkv_accumulator"],
+                x,
+                params["input_layer_norm"],
+                ln_mode,
+                self.qkv,
+                params["qkv"],
+            )
+            state["qkv_gate"] = {"p": p_new}
+            state["qkv_accumulator"] = {"b": b_new}
+            x = b_new
+        elif mode == "v1":
             x, index, mask, state["qkv_gate"] = self._fused_gate_group(
                 ctx,
                 state["qkv_gate"],
@@ -562,6 +611,102 @@ class EventfulTokenwiseBlock(Block):
             rows = layer_norm(rows, ln_params, LN_EPS)
         return rows, index, mask, {"p": p_new}
 
+    # -- v2 whole-group fused kernels (ops/pallas/gate_group.py) ---------------
+
+    @staticmethod
+    def _v2_select(ctx, gate, gate_state, x, ln_params, ln_mode):
+        """Shared v2 front half: error norms -> policy -> coverage."""
+        import jax
+
+        from eventful_transformer_tpu.core.indexing import coverage
+        from eventful_transformer_tpu.ops.pallas.gate_fused import ln_norms
+
+        interpret = jax.devices()[0].platform == "cpu"
+        p = gate_state["p"]
+        ctx.add("gate_flops", x.size)
+        if ln_mode == "post":
+            norms = ln_norms(
+                x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
+            )
+        else:  # "pre" / "none": error in the input domain
+            norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
+        index, mask = gate.policy.select_from_norms(norms)
+        cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
+        return index, mask, cov, interpret
+
+    def _v2_group_linear(
+        self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
+        linear_params, skip=None,
+    ):
+        """Fused gate -> gathered linear -> buffer blend (-> skip-add).
+        Returns (kernel outputs, index, mask); reference-parity counts."""
+        from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_linear
+
+        index, mask, cov, interpret = self._v2_select(
+            ctx, gate, gate_state, x, ln_params, ln_mode
+        )
+        if ln_mode == "none":
+            scale = jnp.ones((x.shape[-1],), jnp.float32)
+            bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        else:
+            scale, bias = ln_params["scale"], ln_params["bias"]
+        outs = gate_group_linear(
+            x,
+            gate_state["p"],
+            buf_state["b"],
+            cov,
+            scale,
+            bias,
+            linear_params["kernel"],
+            linear_params["bias"],
+            skip,
+            ln_mode=ln_mode,
+            kcap=index.shape[-1],
+            interpret=interpret,
+        )
+        frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
+        rows = x.size // x.shape[-1]
+        ctx.add("linear_flops", frac * (x.size * linear.out_features))
+        ctx.add("bias_flops", frac * (rows * linear.out_features))
+        return outs, index, mask
+
+    def _v2_group_mlp(self, ctx, params, state, x):
+        """Fused gate -> gathered 2-layer MLP -> buffer blend -> residual.
+        The hidden activation never leaves VMEM."""
+        from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_mlp
+
+        ln_params = params["mlp_layer_norm"]
+        ln_mode = "pre" if self.gate_before_ln else "post"
+        index, mask, cov, interpret = self._v2_select(
+            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode
+        )
+        p_new, b_new, y = gate_group_mlp(
+            x,
+            state["mlp_gate"]["p"],
+            state["mlp_accumulator"]["b"],
+            cov,
+            ln_params["scale"],
+            ln_params["bias"],
+            params["mlp_1"]["kernel"],
+            params["mlp_1"]["bias"],
+            params["mlp_2"]["kernel"],
+            params["mlp_2"]["bias"],
+            ln_mode=ln_mode,
+            kcap=index.shape[-1],
+            interpret=interpret,
+        )
+        state["mlp_gate"] = {"p": p_new}
+        state["mlp_accumulator"] = {"b": b_new}
+        frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
+        rows = x.size // x.shape[-1]
+        hidden = self.mlp_1.out_features
+        ctx.add("linear_flops", frac * (x.size * hidden))
+        ctx.add("bias_flops", frac * (rows * hidden))
+        ctx.add("linear_flops", frac * (rows * hidden * self.mlp_2.out_features))
+        ctx.add("bias_flops", frac * (rows * self.mlp_2.out_features))
+        ctx.add("add_flops", y.size)
+        return y, state
+
     def _gate_ln(self, ctx, ln_params, gate, gate_state, x):
         """Gate placement around layer norm (reference blocks.py:440-461)."""
         if self.gate_before_ln:
@@ -575,16 +720,36 @@ class EventfulTokenwiseBlock(Block):
     def _post_attention(self, ctx, params, state, x, skip_1, flush):
         """Projection and MLP gate→op→buffer groups
         (reference blocks.py:430-450)."""
+        mode = False if flush else self._fused_mode(x.shape[-2])
+        if mode == "v2":
+            # Whole-group fused kernel: folds the skip-add in; the counted
+            # add below is replicated manually.
+            (p_new, b_new, x), _, _ = self._v2_group_linear(
+                ctx,
+                self.projection_gate,
+                state["projection_gate"],
+                state["projection_accumulator"],
+                x,
+                None,
+                "none",
+                self.projection,
+                params["projection"],
+                skip=skip_1,
+            )
+            state["projection_gate"] = {"p": p_new}
+            state["projection_accumulator"] = {"b": b_new}
+            ctx.add("add_flops", x.size)
+            return self._post_projection(ctx, params, state, x, mode, flush)
         if flush:
             _, state["projection_gate"] = self.projection_gate.flush(
                 state["projection_gate"], x
             )
             x = self.projection.apply(ctx, params["projection"], x)
-            if not self.recompute_buffers:
+            if "projection_accumulator" in state:
                 x, state["projection_accumulator"] = self.projection_accumulator.flush(
                     state["projection_accumulator"], x
                 )
-        elif self._use_fused_gates():
+        elif mode == "v1":
             x, index, mask, state["projection_gate"] = self._fused_gate_group(
                 ctx,
                 state["projection_gate"],
@@ -613,6 +778,15 @@ class EventfulTokenwiseBlock(Block):
                     )
                 )
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
+        return self._post_projection(ctx, params, state, x, mode, flush)
+
+    def _post_projection(self, ctx, params, state, x, mode, flush):
+        """The MLP gate→op→buffer group, with its own fusion mode (the v2
+        MLP kernel is the clearest per-shape win: the hidden activation
+        never leaves VMEM)."""
+        if mode in ("v2", "v2mlp") and not flush:
+            x, state = self._v2_group_mlp(ctx, params, state, x)
+            return x
         skip_2 = x
         if flush:
             if self.gate_before_ln:
@@ -625,7 +799,7 @@ class EventfulTokenwiseBlock(Block):
             x, state["mlp_accumulator"] = self.mlp_accumulator.flush(
                 state["mlp_accumulator"], x
             )
-        elif self._use_fused_gates():
+        elif mode == "v1":
             x_t, index, mask, state["mlp_gate"] = self._fused_gate_select(
                 ctx, state["mlp_gate"], x, self.mlp_gate.policy,
                 params["mlp_layer_norm"],

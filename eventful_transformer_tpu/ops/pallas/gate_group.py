@@ -1,0 +1,355 @@
+"""Whole-group fused gate kernels (round-2 design).
+
+The round-1 kernels (gate_fused.py) eliminated redundant HBM passes but kept
+the "recompute" strategy: the gated linear runs on ALL N rows, giving up the
+FLOP savings that gating exists to provide. These kernels restore the
+savings while keeping the traffic minimal, by doing the whole
+gate -> gather -> op -> scatter -> (skip-add) group in ONE HBM pass over the
+operands:
+
+  1. p' = where(cov, ln(x) | x, p)              (gate-state select)
+  2. c  = E @ p'            -- compact the KCAP selected rows to the front
+                               (E is a one-hot built from cov in VMEM; the
+                               "gather" is an MXU matmul, costing no HBM)
+  3. h  = op(c)             -- the gated linear/MLP on KCAP rows ONLY
+  4. y  = where(cov, Eᵀ @ h, b)  -- scatter-blend into the token buffer
+  5. optional skip-add fused into the same pass
+
+HBM traffic per group: read x, p, b (+skip), write p', y — the algorithmic
+minimum. Matmul FLOPs: KCAP/N of dense (KCAP = k rounded up to the MXU
+sublane granule), vs N/N for the round-1 recompute path.
+
+Applicable when the whole (N, C) token block of one batch element fits VMEM
+(ViViT-scale N; ViTDet large-N uses the blocked path). Semantics are exactly
+the unfused gate->op->buffer pipeline (reference modules.py:104-168 gating,
+modules.py:52-101 buffering); golden-tested against the PyTorch reference.
+
+Numerics: LN and matmul accumulation in f32 (same as core.nn.layer_norm /
+Linear); the one-hot compaction/scatter matmuls are exact row copies (one
+nonzero per row, products 1.0 * value).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+# XLA's f32 erf (xla/client/lib/math.cc ErfImpl32): rational minimax on
+# [-4, 4], ~1 ulp in f32 — Mosaic has no erf lowering, so the exact-GELU
+# (torch nn.GELU default) is computed with the same polynomial XLA itself
+# uses. Validated against jax.scipy.special.erf in tests.
+_ERF_ALPHA = (
+    -2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
+    -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
+    -1.60960333262415e-02,
+)
+_ERF_BETA = (
+    -1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
+    -7.37332916720468e-03, -1.42647390514189e-02,
+)
+
+
+def _poly(x, coeffs):
+    acc = jnp.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    return x * _poly(x2, _ERF_ALPHA) / _poly(x2, _ERF_BETA)
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU in f32, matching jax.nn.gelu(approximate=False)."""
+    return x * 0.5 * (1.0 + _erf_f32(x * (2.0**-0.5)))
+
+
+def _ln_f32(x, scale, bias):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _compaction_onehot(cov_row, kcap, dtype):
+    """(KCAP, N) one-hot: row j holds a 1 at the j-th selected position.
+
+    cov_row: (1, N) f32, >0 where selected. Selected positions keep their
+    index order (pos = running count of selections), matching the index
+    order of jax.lax.top_k after the scatter (order is semantically
+    irrelevant — everything is scattered back by position).
+    """
+    n = cov_row.shape[-1]
+    covb = cov_row > 0  # (1, N)
+    # Prefix sum via an inclusive lower-triangular matmul (Mosaic has no
+    # cumsum lowering): cs[i] = #selected among positions <= i.
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    cs = jax.lax.dot_general(
+        covb.astype(jnp.float32), tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, N)
+    pos = cs.astype(jnp.int32) - 1  # (1, N), position among selected
+    j = jax.lax.broadcasted_iota(jnp.int32, (kcap, n), 0)
+    e = (pos == j) & covb  # (KCAP, N): row j == j-th selected position
+    return e.astype(dtype)
+
+
+def _copy_precision(dtype):
+    """Precision for the one-hot copy matmuls, which must be EXACT.
+
+    f32 inputs: DEFAULT runs the MXU through bf16 passes, quantizing the
+    copies -> force HIGHEST. bf16 inputs: products (1.0 * value) are exact at
+    DEFAULT, and Mosaic rejects HIGHEST bf16 operands ("Bad lhs type").
+    """
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _select_state(x_row, p_row, cov_row, scale, bias, ln_mode):
+    """p' = where(cov, ln(x) if post else x, p); returns (p', ln_x_or_None)."""
+    # Reshape the f32 before comparing: Mosaic can't insert a minor dim
+    # on i1 vectors.
+    covc = cov_row[0][:, None] > 0  # (N, 1)
+    if ln_mode == "post":
+        new = _ln_f32(x_row, scale, bias)
+    else:  # "pre" / "none": gate state lives in the input domain
+        new = x_row.astype(jnp.float32)
+    return jnp.where(covc, new, p_row.astype(jnp.float32))
+
+
+def _make_linear_kernel(ln_mode, kcap, with_skip):
+    def kernel(*refs):
+        if with_skip:
+            (x_ref, p_ref, b_ref, skip_ref, cov_ref, scale_ref, bias_ref,
+             w_ref, wb_ref, p_out, b_out, y_out) = refs
+        else:
+            (x_ref, p_ref, b_ref, cov_ref, scale_ref, bias_ref,
+             w_ref, wb_ref, p_out, b_out) = refs
+        scale = scale_ref[0].astype(jnp.float32)
+        bias = bias_ref[0].astype(jnp.float32)
+        cov_row = cov_ref[0]  # (1, N)
+        p_new = _select_state(x_ref[0], p_ref[0], cov_row, scale, bias, ln_mode)
+        p_out[0] = p_new.astype(p_out.dtype)
+        e = _compaction_onehot(cov_row, kcap, p_out.dtype)  # (KCAP, N)
+        # Compact the selected rows (exact row copies on the MXU).
+        c = jax.lax.dot_general(
+            e, p_new.astype(e.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(e.dtype),
+        )
+        if ln_mode == "pre":
+            c = _ln_f32(c, scale, bias)
+        h = jax.lax.dot_general(
+            c.astype(w_ref.dtype), w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + wb_ref[0].astype(jnp.float32)
+        h = h.astype(b_out.dtype)
+        # Scatter back (exact row copies) and blend with the buffer.
+        scattered = jax.lax.dot_general(
+            e, h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(e.dtype),
+        ).astype(b_out.dtype)
+        covc = cov_row[0][:, None] > 0
+        y = jnp.where(covc, scattered, b_ref[0])
+        b_out[0] = y
+        if with_skip:
+            y_out[0] = (y + skip_ref[0]).astype(y_out.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("ln_mode", "kcap", "interpret"))
+def gate_group_linear(
+    x, p, b, cov, scale, bias, w, wb, skip=None, *, ln_mode, kcap, interpret=False
+):
+    """Fused gate->linear->buffer group.
+
+    x (B, N, C) group input; p (B, N, C) gate state; b (B, N, F) token
+    buffer; cov (B, N) selection coverage (>0 = selected); w (C, F), wb (F,).
+    skip (B, N, F) optional fused residual.
+
+    Returns (p', b') or (p', b', b' + skip). ln_mode as in gate_fused.py:
+    "post" = gate after LN (p in LN domain), "pre" = gate before LN,
+    "none" = no LN (projection group).
+    """
+    bsz, n, c = x.shape
+    f = w.shape[-1]
+    with_skip = skip is not None
+    row = lambda i: (i, 0, 0)
+    vec = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, f), row),
+    ]
+    args = [x, p, b]
+    if with_skip:
+        in_specs.append(pl.BlockSpec((1, n, f), row))
+        args.append(skip)
+    in_specs += [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, c), vec),
+        pl.BlockSpec((1, c), vec),
+        pl.BlockSpec((c, f), vec),
+        pl.BlockSpec((1, f), vec),
+    ]
+    args += [
+        cov.reshape(bsz, 1, n).astype(jnp.float32),
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+        w,
+        wb.reshape(1, -1),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, f), row),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
+        jax.ShapeDtypeStruct((bsz, n, f), b.dtype),
+    ]
+    if with_skip:
+        out_specs.append(pl.BlockSpec((1, n, f), row))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, n, f), x.dtype))
+    outs = pl.pallas_call(
+        _make_linear_kernel(ln_mode, kcap, with_skip),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Whole-(N, C)-block design: f32 weights alone exceed the 16M
+            # default scoped-VMEM limit; v5e has 128M physical VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return tuple(outs)
+
+
+def _make_mlp_kernel(ln_mode, kcap):
+    def kernel(x_ref, p_ref, b_ref, cov_ref, scale_ref, bias_ref,
+               w1_ref, b1_ref, w2_ref, b2_ref, p_out, b_out, y_out):
+        scale = scale_ref[0].astype(jnp.float32)
+        bias = bias_ref[0].astype(jnp.float32)
+        cov_row = cov_ref[0]
+        p_new = _select_state(x_ref[0], p_ref[0], cov_row, scale, bias, ln_mode)
+        p_out[0] = p_new.astype(p_out.dtype)
+        e = _compaction_onehot(cov_row, kcap, p_out.dtype)
+        c = jax.lax.dot_general(
+            e, p_new.astype(e.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(e.dtype),
+        )
+        if ln_mode == "pre":
+            c = _ln_f32(c, scale, bias)
+        h = jax.lax.dot_general(
+            c.astype(w1_ref.dtype), w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0].astype(jnp.float32)
+        # Match the unfused path's dtype trajectory: the hidden activation is
+        # cast to the working dtype between the two Linears.
+        h = _gelu_exact(h).astype(x_ref.dtype)
+        h2 = jax.lax.dot_general(
+            h.astype(w2_ref.dtype), w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0].astype(jnp.float32)
+        h2 = h2.astype(b_out.dtype)
+        scattered = jax.lax.dot_general(
+            e, h2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(e.dtype),
+        ).astype(b_out.dtype)
+        covc = cov_row[0][:, None] > 0
+        y = jnp.where(covc, scattered, b_ref[0])
+        b_out[0] = y
+        y_out[0] = (y + x_ref[0]).astype(y_out.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("ln_mode", "kcap", "interpret"))
+def gate_group_mlp(
+    x, p, b, cov, scale, bias, w1, b1, w2, b2, *, ln_mode, kcap, interpret=False
+):
+    """Fused gate->MLP->buffer group with the residual folded in.
+
+    x doubles as the skip (the reference's skip_2 is the MLP group input,
+    blocks.py:446-450). The hidden activation (KCAP, 4C) never leaves VMEM.
+
+    Returns (p', b', y) with y = b' + x.
+    """
+    bsz, n, c = x.shape
+    h_dim = w1.shape[-1]
+    row = lambda i: (i, 0, 0)
+    vec = lambda i: (0, 0)
+    return pl.pallas_call(
+        _make_mlp_kernel(ln_mode, kcap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, n, c), row),
+                pl.BlockSpec((1, n, c), row),
+                pl.BlockSpec((1, n, c), row),
+                pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, c), vec),
+                pl.BlockSpec((1, c), vec),
+                pl.BlockSpec((c, h_dim), vec),
+                pl.BlockSpec((1, h_dim), vec),
+                pl.BlockSpec((h_dim, c), vec),
+                pl.BlockSpec((1, c), vec),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, n, c), row),
+                pl.BlockSpec((1, n, c), row),
+                pl.BlockSpec((1, n, c), row),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
+            jax.ShapeDtypeStruct((bsz, n, c), b.dtype),
+            jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Whole-(N, C)-block design: f32 weights alone exceed the 16M
+            # default scoped-VMEM limit; v5e has 128M physical VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x, p, b,
+        cov.reshape(bsz, 1, n).astype(jnp.float32),
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+    )

@@ -25,6 +25,45 @@ def scalar_probe(tree):
     return total
 
 
+def time_repeated(fn, args, repeat=64, iters=5, warmup=1, perturb=None):
+    """Time ``fn(*args)`` amortizing per-dispatch overhead: run ``repeat``
+    data-dependent iterations inside ONE jit via ``lax.scan`` and divide.
+
+    ``perturb(args, eps) -> args`` injects a scalar derived from the previous
+    iteration's output into the next iteration's inputs (establishing a data
+    dependence so XLA cannot batch or elide iterations). Default: adds
+    ``eps`` to the first argument (costs one elementwise pass over it —
+    measure an elementwise baseline with the same harness to calibrate).
+    Returns seconds per single ``fn`` call.
+    """
+    if perturb is None:
+        def perturb(a, eps):
+            return (a[0] + eps.astype(a[0].dtype),) + tuple(a[1:])
+
+    @jax.jit
+    def looped(*a):
+        def body(carry, _):
+            eps, cur = carry
+            out = fn(*cur)
+            eps2 = scalar_probe(out) * jnp.float32(1e-20)
+            return (eps2, perturb(cur, eps2)), None
+
+        (eps, _), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), tuple(a)), None, length=repeat
+        )
+        return eps
+
+    float(looped(*args))  # compile + first run
+    for _ in range(max(warmup - 1, 0)):
+        float(looped(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(looped(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / repeat
+
+
 def time_jitted(fn, args, iters=5, warmup=2, median=True):
     """Time ``fn(*args)`` where fn is jit-compiled and returns a pytree.
     Wraps fn so it reduces to a scalar on device; each timed call reads the

@@ -238,13 +238,14 @@ class TestThresholdPolicyInBlock:
 
 
 class TestFusedGateGroup:
-    def test_fused_matches_reference(self, rng):
-        """The Pallas fused gate path (interpret mode on CPU) is golden-exact
-        incl. FLOP-count parity, both LN placements."""
+    @pytest.mark.parametrize("fused_mode", ["v1", "v2"])
+    def test_fused_matches_reference(self, rng, fused_mode):
+        """The Pallas fused gate paths (interpret mode on CPU) are
+        golden-exact incl. FLOP-count parity, both LN placements."""
         for kwargs in (dict(input_size=(4, 6)), dict(input_size=(4, 6), gate_before_ln=True)):
             ref_block = _seed_torch_block(REF.blocks.EventfulTokenwiseBlock, **kwargs)
             ours = EventfulTokenwiseBlock(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
-            ours.fused_gates = True  # force; CPU -> interpret mode
+            ours.fused_gates = fused_mode  # force; CPU -> interpret mode
             params = torch_block_params(ref_block)
             _set_ref_policies(ref_block, 8)
             _set_our_policies(ours, 8)
