@@ -98,6 +98,121 @@ def time_model(model, views, iters, warmup=2, dtype=None):
     return time_jitted(step, (params, views), iters=iters, warmup=warmup)
 
 
+def build_vitdet_backbone(eventful, size=672):
+    """ViTDet-B backbone at the reference VID operating points
+    (configs/evaluate/vitdet_vid/spatiotemporal_672.yml): 8 windowed blocks
+    + 4 global; eventful = EventfulBlock global (k/v pool 2, bf16 A-V cast)
+    + EventfulTokenwiseBlock windowed."""
+    from eventful_transformer_tpu.core.backbones import ViTBackbone
+
+    hw = size // 16
+    block_config = dict(
+        dim=768, heads=12, mlp_ratio=4,
+        relative_embedding_size=[64, 64], window_size=[14, 14],
+    )
+    if eventful:
+        block_config.update(pool_size=2, matmul_2_cast="bfloat16")
+        kwargs = dict(
+            block_class="EventfulBlock",
+            windowed_class="EventfulTokenwiseBlock",
+            windowed_overrides=dict(pool_size=None, matmul_2_cast=None),
+        )
+    else:
+        kwargs = dict(block_class="Block")
+    return ViTBackbone(
+        block_config=block_config,
+        depth=12,
+        position_encoding_size=[14, 14],
+        input_size=(hw, hw),
+        window_indices=[0, 1, 3, 4, 6, 7, 9, 10],
+        **kwargs,
+    )
+
+
+def bench_vitdet(args):
+    """Second driver metric: ViTDet-B backbone ms/frame at 672, dense vs
+    eventful spatiotemporal k=256, 2 independent streams, interleaved A/B
+    measurement, steady-state (state passed in post-flush) — the reference
+    timing protocol (scripts/time/vitdet_vid.py:17-56) with the flush frame
+    excluded."""
+    import time
+
+    from eventful_transformer_tpu.core.counting import Ctx
+    from eventful_transformer_tpu.core.gating import TokenGate
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+    from eventful_transformer_tpu.utils.timing import scalar_probe
+
+    size, streams, frames_per_call, k = 672, 2, 16, 256
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    n = (size // 16) ** 2
+
+    def setup(eventful):
+        model = build_vitdet_backbone(eventful, size)
+        if eventful:
+            for gate in model.blocks[0].modules_of_type(TokenGate):
+                pass  # gates are per-block; set below
+            for blk in model.blocks:
+                for gate in blk.modules_of_type(TokenGate):
+                    gate.policy = TokenNormTopK(k=k)
+        params = model.init(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
+        )
+        frames = jnp.asarray(
+            rng.standard_normal((frames_per_call, streams, n, 768)).astype(np.float32)
+        ).astype(dtype)
+
+        def fwd(p, state, fr):
+            aux = model.precompute(p)
+
+            def body(carry, x):
+                y, s = model.apply(Ctx(), p, carry, x, aux)
+                return s, scalar_probe(y)
+
+            state, probes = jax.lax.scan(body, state, fr)
+            return state, jnp.sum(probes)
+
+        jit_fwd = jax.jit(fwd)
+        state0 = model.init_state(streams, dtype)
+        # flush frame once; timing runs steady-state only
+        state, probe = jit_fwd(params, state0, frames[:1])
+        float(probe)
+        return jit_fwd, params, state, frames
+
+    d_fwd, d_params, d_state, d_frames = setup(False)
+    e_fwd, e_params, e_state, e_frames = setup(True)
+    # warm both
+    float(d_fwd(d_params, d_state, d_frames)[1])
+    float(e_fwd(e_params, e_state, e_frames)[1])
+    d_times, e_times = [], []
+    for _ in range(args.iters):  # interleaved A/B
+        t0 = time.perf_counter()
+        float(d_fwd(d_params, d_state, d_frames)[1])
+        d_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(e_fwd(e_params, e_state, e_frames)[1])
+        e_times.append(time.perf_counter() - t0)
+    d_t = float(np.median(d_times)) / frames_per_call
+    e_t = float(np.median(e_times)) / frames_per_call
+    return {
+        "metric": "vitdet_b_672_backbone_eventful_fps_1chip",
+        "value": round(streams / e_t, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(d_t / e_t, 4),
+        "detail": {
+            "dense_ms_per_frame": round(d_t * 1e3, 3),
+            "eventful_ms_per_frame": round(e_t * 1e3, 3),
+            "k": k,
+            "n_tokens": n,
+            "streams": streams,
+            "frames_per_call": frames_per_call,
+            "config": "spatiotemporal_672 (EventfulBlock pool 2 + windowed Tokenwise)",
+            "dtype": args.dtype or "float32",
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--views", type=int, default=4)
@@ -119,7 +234,17 @@ def main():
         help="eventful block variant; Tokenwise is the wall-clock optimum at "
         "ViViT scale (attention eventfulness pays off at ViTDet token counts)",
     )
+    parser.add_argument(
+        "--workload", default="all", choices=["all", "vivit", "vitdet"],
+        help="which benchmark(s) to run; the ViViT K400 line prints LAST "
+        "(it is the canonical driver metric)",
+    )
     args = parser.parse_args()
+
+    if args.workload in ("all", "vitdet"):
+        print(json.dumps(bench_vitdet(args)))
+        if args.workload == "vitdet":
+            return
 
     n_tokens = (args.size // 16) ** 2 + 1
     k = int(args.budget * n_tokens)

@@ -380,11 +380,20 @@ class EventfulTokenwiseBlock(Block):
         #   False   — always unfused.
         self.fused_gates = "auto"
 
-    # v2 whole-block kernels hold one batch element's full (N, C) group in
-    # VMEM; v1 recompute kernels were measured neutral-to-worse at
-    # N = 1764 - 4096 (ViTDet), so auto mode turns fusion off there.
-    V2_MAX_TOKENS = 512
-    V1_MAX_TOKENS = 1024
+    # Per-shape fusion thresholds (measured on TPU v5e, docs/PERF_NOTES.md):
+    #   n <= V2MLP_MAX: "v2mlp" — XLA recompute qkv/proj + v2 MLP kernel.
+    #     Full v2's extra buffer state costs more in scan/carry traffic than
+    #     its gathered matmuls save at small N (k-row matmuls underutilize
+    #     the MXU per grid instance).
+    #   n <= V2_MAX:   "v2" — all three groups via the whole-group kernels;
+    #     at ViTDet N the k/N FLOP savings dominate and stacks are
+    #     heterogeneous (unrolled), so no scan-slice copies.
+    #   n >  V2_MAX:   unfused; the whole-(N, C)-in-VMEM kernels exceed VMEM
+    #     (ViTDet-1024 N=4096), and _recompute() switches the unfused path
+    #     to gathered+buffered there so the matmuls stay k-row-sized.
+    V2MLP_MAX_TOKENS = 512
+    V2_MAX_TOKENS = 2048
+    RECOMPUTE_MAX_TOKENS = 2048
 
     def _fused_mode(self, n_tokens):
         if self.stgt or self.fused_gates is False:
@@ -401,20 +410,20 @@ class EventfulTokenwiseBlock(Block):
             on_tpu = False
         if not on_tpu:
             return False
-        if (
-            n_tokens <= self.V2_MAX_TOKENS
-            and self.drop_path.drop_rate == 0.0
-            and self.ats_fraction is None
-        ):
-            # Measured (carried block step, B=32, N=197, bf16, k=98):
-            # v2mlp 835us < unfused 1004 < v1 1020 < full v2 1083 (the qkv/
-            # proj buffer state v2 adds costs more in scan-carry traffic
-            # than its gathered matmuls save; the MLP kernel is the clear
-            # win: 330 vs 652us, hidden never leaves VMEM).
+        if self.drop_path.drop_rate != 0.0 or self.ats_fraction is not None:
+            return False
+        if n_tokens <= self.V2MLP_MAX_TOKENS:
             return "v2mlp"
-        if n_tokens <= self.V1_MAX_TOKENS and self.recompute_buffers:
-            return "v1"
+        if n_tokens <= self.V2_MAX_TOKENS:
+            return "v2"
         return False
+
+    def _recompute(self, n_tokens):
+        """Recompute qkv/projection buffers from gate state (dense matmul,
+        zero buffer state) vs maintain buffers and compute k rows. Recompute
+        wins while the dense matmul is cheap relative to buffer traffic; at
+        large N (ViTDet-1024) the gathered path wins."""
+        return self.recompute_buffers and n_tokens <= self.RECOMPUTE_MAX_TOKENS
 
     @property
     def gates(self):
@@ -433,7 +442,7 @@ class EventfulTokenwiseBlock(Block):
         # qkv / projection buffers exist as state when gathered (unfused
         # non-recompute, or v2 fused which computes on k rows and blends);
         # the v1 recompute path derives them from p instead.
-        if not self.recompute_buffers or self._fused_mode(n_tokens) == "v2":
+        if not self._recompute(n_tokens) or self._fused_mode(n_tokens) == "v2":
             state["qkv_accumulator"] = self.qkv_accumulator.init_state(
                 (batch, n_tokens, 3 * self.dim), dtype
             )
@@ -510,7 +519,7 @@ class EventfulTokenwiseBlock(Block):
             x_t, index, mask, state["qkv_gate"] = self._gate_ln(
                 ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
             )
-            if self.recompute_buffers:
+            if "qkv_accumulator" not in state:
                 # buffer == qkv(p) exactly (p holds each token's value at its
                 # last update); recompute densely instead of scatter-blending.
                 p = state["qkv_gate"]["p"]
@@ -764,7 +773,7 @@ class EventfulTokenwiseBlock(Block):
             x_t, index, mask, state["projection_gate"] = self.projection_gate.incremental(
                 ctx, state["projection_gate"], x
             )
-            if self.recompute_buffers:
+            if "projection_accumulator" not in state:
                 p = state["projection_gate"]["p"]
                 frac = (index.shape[-1] / p.shape[-2]) * valid_fraction(mask)
                 x = self.projection.apply(ctx, params["projection"], p, valid_frac=frac)
