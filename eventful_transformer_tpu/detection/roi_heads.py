@@ -1,11 +1,19 @@
-"""Standard ROI heads, inference path (detectron2 StandardROIHeads +
-FastRCNNConvFCHead + FastRCNNOutputLayers, as configured in
-configs/detectron/vitdet_b_vid.py:34-63).
+"""ROI heads, inference path.
 
+StandardROIHeads: detectron2 StandardROIHeads + FastRCNNConvFCHead +
+FastRCNNOutputLayers, as configured in configs/detectron/vitdet_b_vid.py:34-63.
 Pipeline: multi-level ROIAlign over p2-p5 -> 4x [3x3 conv + LN + ReLU] ->
 FC 1024 + ReLU -> class scores (C+1) and class-specific box deltas (4C) ->
 softmax, score threshold, per-class NMS, top-k per image. All fixed-shape
-with validity masks."""
+with validity masks.
+
+CascadeROIHeads: the 3-stage cascade of the COCO operating point
+(reference configs/detectron/vitdet_b_coco.py:22-48): per-stage box heads
+and predictors with Box2BoxTransform weights (10,10,5,5)/(20,20,10,10)/
+(30,30,15,15), class-agnostic box regression; each stage refines the
+previous stage's boxes, class probabilities are AVERAGED over stages and
+the final boxes come from the last stage (detectron2
+cascade_rcnn.py::CascadeROIHeads._forward_box test-time path)."""
 
 from __future__ import annotations
 
@@ -46,6 +54,13 @@ class StandardROIHeads:
         self.test_nms_thresh = test_nms_thresh
         self.test_topk_per_image = test_topk_per_image
 
+    # Box regression output dimension: class-specific (4 per class) for the
+    # VID standard heads; the COCO cascade overrides with class-agnostic 4.
+    cls_agnostic = False
+
+    def _box_dim(self):
+        return 4 if self.cls_agnostic else self.num_classes * 4
+
     def init(self, key):
         keys = jax.random.split(key, len(self.conv_dims) + len(self.fc_dims) + 2)
         params = {"convs": [], "fcs": []}
@@ -72,8 +87,8 @@ class StandardROIHeads:
             "bias": jnp.zeros((self.num_classes + 1,)),
         }
         params["bbox_pred"] = {
-            "kernel": trunc_normal(keys[i + 1], (flat, self.num_classes * 4), std=0.001),
-            "bias": jnp.zeros((self.num_classes * 4,)),
+            "kernel": trunc_normal(keys[i + 1], (flat, self._box_dim()), std=0.001),
+            "bias": jnp.zeros((self._box_dim(),)),
         }
         return params
 
@@ -95,27 +110,24 @@ class StandardROIHeads:
         deltas = features @ params["bbox_pred"]["kernel"] + params["bbox_pred"]["bias"]
         return scores, deltas
 
-    def inference(self, params, features, proposals, proposal_mask, image_size):
-        """features: list of (1, H_l, W_l, C) for p2..p5; proposals (P, 4).
-        Returns dict with fixed-size boxes/scores/labels (+ mask)."""
+    def _pool(self, features, boxes):
         maps = [f[0] for f in features]
-        pooled = multilevel_roi_align(
+        return multilevel_roi_align(
             maps,
-            proposals,
+            boxes,
             self.pooler_scales,
             min_level=2,
             max_level=5,
             output_size=self.pooler_output,
             sampling_ratio=self.sampling_ratio,
         )
-        box_features = self.box_head(params, pooled)
-        scores, deltas = self.predict(params, box_features)
-        probs = jax.nn.softmax(scores, axis=-1)[:, : self.num_classes]  # drop bg
-        deltas = deltas.reshape(-1, self.num_classes, 4)
-        boxes = apply_deltas(deltas, proposals[:, None, :], weights=self.box_weights)
-        boxes = clip_boxes(boxes, image_size)
 
+    def _nms_tail(self, probs, boxes, proposal_mask, image_size):
+        """probs (P, C) foreground probabilities; boxes (P, C, 4) per-class
+        boxes (broadcastable). Score threshold + per-class NMS + top-k."""
+        boxes = clip_boxes(boxes, image_size)
         p, c = probs.shape
+        boxes = jnp.broadcast_to(boxes, (p, c, 4))
         flat_boxes = boxes.reshape(p * c, 4)
         flat_scores = probs.reshape(p * c)
         classes = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (p, c)).reshape(-1)
@@ -137,3 +149,57 @@ class StandardROIHeads:
             "labels": classes[keep_idx],
             "mask": keep_mask,
         }
+
+    def inference(self, params, features, proposals, proposal_mask, image_size):
+        """features: list of (1, H_l, W_l, C) for p2..p5; proposals (P, 4).
+        Returns dict with fixed-size boxes/scores/labels (+ mask)."""
+        pooled = self._pool(features, proposals)
+        box_features = self.box_head(params, pooled)
+        scores, deltas = self.predict(params, box_features)
+        probs = jax.nn.softmax(scores, axis=-1)[:, : self.num_classes]  # drop bg
+        deltas = deltas.reshape(-1, self.num_classes, 4)
+        boxes = apply_deltas(deltas, proposals[:, None, :], weights=self.box_weights)
+        return self._nms_tail(probs, boxes, proposal_mask, image_size)
+
+
+class CascadeROIHeads(StandardROIHeads):
+    """3-stage cascade (reference configs/detectron/vitdet_b_coco.py:22-48),
+    inference path. Class-agnostic box regression; stage k refines stage
+    k-1's boxes with its own Box2BoxTransform weights; class probabilities
+    are averaged across stages; final boxes come from the last stage."""
+
+    cls_agnostic = True
+
+    def __init__(
+        self,
+        num_classes,
+        stage_box_weights=(
+            (10.0, 10.0, 5.0, 5.0),
+            (20.0, 20.0, 10.0, 10.0),
+            (30.0, 30.0, 15.0, 15.0),
+        ),
+        **kwargs,
+    ):
+        kwargs.pop("box_weights", None)
+        super().__init__(num_classes, box_weights=stage_box_weights[0], **kwargs)
+        self.stage_box_weights = tuple(tuple(w) for w in stage_box_weights)
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.stage_box_weights))
+        return {"stages": [super(CascadeROIHeads, self).init(k) for k in keys]}
+
+    def inference(self, params, features, proposals, proposal_mask, image_size):
+        boxes = proposals
+        stage_probs = []
+        for stage_params, weights in zip(params["stages"], self.stage_box_weights):
+            pooled = self._pool(features, boxes)
+            box_features = self.box_head(stage_params, pooled)
+            scores, deltas = self.predict(stage_params, box_features)
+            stage_probs.append(jax.nn.softmax(scores, axis=-1))
+            # Class-agnostic refinement; refined boxes are the next stage's
+            # proposals, clipped (detectron2 _create_proposals_from_boxes).
+            boxes = apply_deltas(deltas.reshape(-1, 4), boxes, weights=weights)
+            boxes = clip_boxes(boxes, image_size)
+        probs = sum(stage_probs) / len(stage_probs)
+        probs = probs[:, : self.num_classes]  # drop background
+        return self._nms_tail(probs, boxes[:, None, :], proposal_mask, image_size)

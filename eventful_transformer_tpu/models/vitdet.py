@@ -20,7 +20,10 @@ import numpy as np
 from eventful_transformer_tpu.core.backbones import ViTBackbone
 from eventful_transformer_tpu.core.nn import Module, gelu, layer_norm, numeric_tuple
 from eventful_transformer_tpu.detection.rpn import RPN
-from eventful_transformer_tpu.detection.roi_heads import StandardROIHeads
+from eventful_transformer_tpu.detection.roi_heads import (
+    CascadeROIHeads,
+    StandardROIHeads,
+)
 from eventful_transformer_tpu.ops.conv import (
     conv2d,
     conv2d_init,
@@ -192,8 +195,13 @@ class ViTDet(Module):
         self.proposal_generator = RPN(
             in_channels=output_channels, **(rpn_config or {})
         )
-        self.roi_heads = StandardROIHeads(
-            num_classes=classes, in_channels=output_channels, **(roi_config or {})
+        roi_config = dict(roi_config or {})
+        # The COCO operating point uses 3-stage cascade heads
+        # (reference configs/detectron/vitdet_b_coco.py:22-48); VID uses the
+        # single-stage standard heads (configs/detectron/vitdet_b_vid.py:35).
+        roi_class = CascadeROIHeads if roi_config.pop("cascade", False) else StandardROIHeads
+        self.roi_heads = roi_class(
+            num_classes=classes, in_channels=output_channels, **roi_config
         )
 
     def init(self, key):

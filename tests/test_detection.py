@@ -229,6 +229,114 @@ class TestViTDetEndToEnd:
             )
 
 
+class TestCascadeROIHeads:
+    """Oracle tests for the 3-stage cascade (reference
+    configs/detectron/vitdet_b_coco.py:22-48): stage chaining, per-stage
+    Box2Box weights, class-agnostic regression, score averaging."""
+
+    def _build(self, rng, classes=4, channels=8):
+        from eventful_transformer_tpu.detection.roi_heads import CascadeROIHeads
+
+        heads = CascadeROIHeads(
+            num_classes=classes,
+            in_channels=channels,
+            conv_dims=(8,),
+            fc_dims=(16,),
+            test_topk_per_image=10,
+            test_score_thresh=0.0,
+        )
+        params = heads.init(jax.random.PRNGKey(3))
+        # non-trivial predictors (init gives ~0 weights for bbox_pred)
+        def bump(p, key):
+            leaves, treedef = jax.tree_util.tree_flatten(p)
+            keys = jax.random.split(key, len(leaves))
+            return jax.tree_util.tree_unflatten(
+                treedef,
+                [l + 0.05 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)],
+            )
+        params = bump(params, jax.random.PRNGKey(7))
+        features = [
+            jnp.asarray(rng.standard_normal((1, 16 // s, 16 // s, channels)).astype(np.float32))
+            for s in (1, 2, 4, 8)
+        ]
+        proposals = jnp.asarray(
+            np.stack([
+                np.array([2.0, 2.0, 30.0, 28.0]),
+                np.array([8.0, 4.0, 40.0, 44.0]),
+                np.array([1.0, 1.0, 60.0, 62.0]),
+            ]).astype(np.float32)
+        )
+        mask = jnp.ones((3,), bool)
+        return heads, params, features, proposals, mask
+
+    def test_stage_chaining_oracle(self, rng):
+        """Independent numpy/jnp reimplementation of the cascade recursion:
+        per-stage pooled->head->predict, class-agnostic refinement with the
+        stage's own weights, averaged softmax scores, last-stage boxes."""
+        heads, params, features, proposals, mask = self._build(rng)
+        image_size = (64, 64)
+        got = heads.inference(params, features, proposals, mask, image_size)
+
+        from eventful_transformer_tpu.detection.boxes import apply_deltas as ad
+        from eventful_transformer_tpu.detection.boxes import clip_boxes
+
+        boxes = proposals
+        probs = []
+        for sp, w in zip(params["stages"], heads.stage_box_weights):
+            pooled = heads._pool(features, boxes)
+            feats = heads.box_head(sp, pooled)
+            scores, deltas = heads.predict(sp, feats)
+            probs.append(jax.nn.softmax(scores, axis=-1))
+            boxes = clip_boxes(ad(deltas.reshape(-1, 4), boxes, weights=w), image_size)
+        mean_probs = (probs[0] + probs[1] + probs[2]) / 3.0
+        want = heads._nms_tail(
+            mean_probs[:, : heads.num_classes], boxes[:, None, :], mask, image_size
+        )
+        np.testing.assert_allclose(np.asarray(got["boxes"]), np.asarray(want["boxes"]))
+        np.testing.assert_allclose(np.asarray(got["scores"]), np.asarray(want["scores"]))
+        # stages actually refine: boxes differ from proposals
+        assert not np.allclose(np.asarray(boxes), np.asarray(proposals))
+
+    def test_stage_weights_and_agnostic_shape(self, rng):
+        heads, params, *_ = self._build(rng)
+        assert heads.stage_box_weights == (
+            (10.0, 10.0, 5.0, 5.0),
+            (20.0, 20.0, 10.0, 10.0),
+            (30.0, 30.0, 15.0, 15.0),
+        )
+        assert len(params["stages"]) == 3
+        # class-agnostic: 4 outputs, not 4 * num_classes
+        assert params["stages"][0]["bbox_pred"]["kernel"].shape[-1] == 4
+
+    def test_coco_config_selects_cascade(self):
+        from eventful_transformer_tpu.detection.roi_heads import (
+            CascadeROIHeads,
+            StandardROIHeads,
+        )
+        from eventful_transformer_tpu.utils.config import load_config
+
+        coco = load_config("configs/models/vitdet_b_coco.yml")
+        vid = load_config("configs/models/vitdet_b_vid.yml")
+        assert coco["model"]["roi_config"]["cascade"] is True
+        assert vid["model"]["roi_config"]["cascade"] is False
+        config = dict(TINY_VITDET)
+        config["roi_config"] = dict(config["roi_config"], cascade=True)
+        model = ViTDet(**config)
+        assert type(model.roi_heads) is CascadeROIHeads
+        assert type(ViTDet(**TINY_VITDET).roi_heads) is StandardROIHeads
+
+    def test_cascade_end_to_end(self, rng):
+        config = dict(TINY_VITDET)
+        config["roi_config"] = dict(config["roi_config"], cascade=True)
+        model = ViTDet(**config)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+        frame = rng.integers(0, 255, (1, 3, 56, 60), dtype=np.uint8)
+        result, state = model.apply(Ctx(), params, state, frame)
+        assert result["boxes"].shape == (20, 4)
+        assert np.isfinite(np.asarray(result["boxes"])).all()
+
+
 class TestMeanAP:
     def test_perfect_predictions(self):
         from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
