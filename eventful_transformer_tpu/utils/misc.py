@@ -4,7 +4,10 @@
 from __future__ import annotations
 
 import re
+import shutil
 import subprocess
+import sys
+import urllib.request
 from pathlib import Path
 from random import Random
 
@@ -14,22 +17,24 @@ from eventful_transformer_tpu.core.gating import TokenGate
 
 
 class MeanValue:
-    """Running mean (reference utils/misc.py:12-26)."""
+    """Streaming mean metric (same surface as reference utils/misc.py:12-26).
+
+    Kept as an incremental running mean (mean += (v - mean) / n) rather than
+    a sum/count pair — numerically stabler for long timing runs."""
 
     def __init__(self):
-        self.sum = 0.0
-        self.count = 0
-
-    def compute(self):
-        return 0.0 if (self.count == 0) else self.sum / self.count
-
-    def reset(self):
-        self.sum = 0.0
-        self.count = 0
+        self._mean = 0.0
+        self._n = 0
 
     def update(self, value):
-        self.sum += value
-        self.count += 1
+        self._n += 1
+        self._mean += (float(value) - self._mean) / self._n
+
+    def compute(self):
+        return self._mean if self._n else 0.0
+
+    def reset(self):
+        self._mean, self._n = 0.0, 0
 
 
 class TopKAccuracy:
@@ -70,14 +75,16 @@ def set_policies(model, policy_class, **policy_kwargs):
 
 
 def seeded_shuffle(sequence, seed):
-    rng = Random()
-    rng.seed(seed)
-    rng.shuffle(sequence)
+    """In-place deterministic shuffle. Algorithm pinned to ``random.Random``
+    (Mersenne-Twister Fisher-Yates) so dataset subset selection reproduces
+    the reference's item order exactly (utils/misc.py:134-137)."""
+    Random(seed).shuffle(sequence)
 
 
 def tee_print(s, file, flush=True):
-    print(s, flush=flush)
-    print(s, file=file, flush=flush)
+    """Print to stdout and to a log file (reference utils/misc.py:150-152)."""
+    for stream in (sys.stdout, file):
+        print(s, file=stream, flush=flush)
 
 
 def decode_video(
@@ -88,30 +95,30 @@ def decode_video(
     ffmpeg_input_args=None,
     ffmpeg_output_args=None,
 ):
-    """ffmpeg video decode to image frames (reference utils/misc.py:48-68)."""
-    output_path = Path(output_path)
-    output_path.mkdir(exist_ok=True)
-    ffmpeg_input_args = ffmpeg_input_args or []
-    ffmpeg_output_args = ffmpeg_output_args or []
-    return subprocess.call(
-        ["ffmpeg", "-loglevel", "error"]
-        + ffmpeg_input_args
-        + ["-i", str(input_path)]
-        + ffmpeg_output_args
-        + [str(output_path / f"{name_format}.{image_format}")]
-    )
+    """Decode a video into numbered image frames with ffmpeg (host-side
+    preprocessing, out of the model path — SURVEY.md §2.6). Returns the
+    ffmpeg exit code (0 = success); callers treat nonzero as a failed clip
+    and drop it."""
+    frames_dir = Path(output_path)
+    frames_dir.mkdir(exist_ok=True)
+    command = ["ffmpeg", "-loglevel", "error"]
+    command += list(ffmpeg_input_args or ())
+    command += ["-i", str(input_path)]
+    command += list(ffmpeg_output_args or ())
+    command.append(str(frames_dir / f"{name_format}.{image_format}"))
+    return subprocess.run(command, check=False).returncode
 
 
-def download_file(url, output_path, chunk_size=4096, verbose=True):
-    import requests
-
+def download_file(url, output_path, chunk_size=1 << 20, verbose=True):
+    """Stream a URL to disk via stdlib urllib (no third-party HTTP client).
+    Writes to a .part file first so interrupted downloads never leave a
+    truncated file at the final path (dataset bootstraps check existence)."""
     if verbose:
         print(f"Downloading {url}...", flush=True)
-    with requests.get(url, stream=True) as source:
-        with open(output_path, "wb") as output_file:
-            for chunk in source.iter_content(chunk_size=chunk_size):
-                if chunk:
-                    output_file.write(chunk)
+    partial = Path(str(output_path) + ".part")
+    with urllib.request.urlopen(url) as source, open(partial, "wb") as sink:
+        shutil.copyfileobj(source, sink, length=chunk_size)
+    partial.replace(output_path)
 
 
 def parse_patterns(pattern_file):
