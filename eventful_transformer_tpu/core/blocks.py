@@ -567,7 +567,7 @@ class EventfulTokenwiseBlock(Block):
             )
         else:  # "pre" or "none": error in the input domain
             norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
-        index, mask = policy.select_from_norms(norms)
+        index, mask = policy.select_from_norms(norms, ctx)
         cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
         if ln_mode == "none":
             scale = jnp.ones((x.shape[-1],), jnp.float32)
@@ -586,8 +586,8 @@ class EventfulTokenwiseBlock(Block):
             interpret=interpret,
         )
         frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
-        ctx.add("linear_flops", frac * (x.size * linear.out_features))
-        ctx.add("bias_flops", frac * y.size)
+        ctx.add("linear_flops", frac * float(x.size * linear.out_features))
+        ctx.add("bias_flops", frac * float(y.size))
         return y, index, mask, {"p": p_new}
 
     def _fused_gate_select(self, ctx, gate_state, x, policy, ln_params):
@@ -609,7 +609,7 @@ class EventfulTokenwiseBlock(Block):
             norms = ln_norms(
                 x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
             )
-        index, mask = policy.select_from_norms(norms)
+        index, mask = policy.select_from_norms(norms, ctx)
         cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
         p_new = ln_select(
             x, p, cov, ln_params["scale"], ln_params["bias"],
@@ -639,7 +639,7 @@ class EventfulTokenwiseBlock(Block):
             )
         else:  # "pre" / "none": error in the input domain
             norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
-        index, mask = gate.policy.select_from_norms(norms)
+        index, mask = gate.policy.select_from_norms(norms, ctx)
         cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
         return index, mask, cov, interpret
 
@@ -675,8 +675,8 @@ class EventfulTokenwiseBlock(Block):
         )
         frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
         rows = x.size // x.shape[-1]
-        ctx.add("linear_flops", frac * (x.size * linear.out_features))
-        ctx.add("bias_flops", frac * (rows * linear.out_features))
+        ctx.add("linear_flops", frac * float(x.size * linear.out_features))
+        ctx.add("bias_flops", frac * float(rows * linear.out_features))
         return outs, index, mask
 
     def _v2_group_mlp(self, ctx, params, state, x):
@@ -709,10 +709,10 @@ class EventfulTokenwiseBlock(Block):
         frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
         rows = x.size // x.shape[-1]
         hidden = self.mlp_1.out_features
-        ctx.add("linear_flops", frac * (x.size * hidden))
-        ctx.add("bias_flops", frac * (rows * hidden))
-        ctx.add("linear_flops", frac * (rows * hidden * self.mlp_2.out_features))
-        ctx.add("bias_flops", frac * (rows * self.mlp_2.out_features))
+        ctx.add("linear_flops", frac * float(x.size * hidden))
+        ctx.add("bias_flops", frac * float(rows * hidden))
+        ctx.add("linear_flops", frac * float(rows * hidden * self.mlp_2.out_features))
+        ctx.add("bias_flops", frac * float(rows * self.mlp_2.out_features))
         ctx.add("add_flops", y.size)
         return y, state
 

@@ -41,6 +41,9 @@ import jax.numpy as jnp
 
 COUNT_KEYS = (
     "accumulator_flops",
+    # not a FLOP count: #gate calls whose threshold-policy capacity
+    # saturated (drives bucketed dispatch escalation, utils/bucketing.py)
+    "policy_saturated",
     "add_flops",
     "bias_flops",
     "conv1d_flops",

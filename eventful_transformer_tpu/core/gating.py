@@ -54,17 +54,17 @@ class TokenGate:
         """First time step: pass everything through, store reference."""
         return c, {"p": c}
 
-    def _select(self, e, forced_index, forced_mask):
+    def _select(self, e, forced_index, forced_mask, ctx=None):
         if forced_index is not None:
             return forced_index, forced_mask
         norm_axis = -1 if self.structure == "row" else -2
-        return self.policy.select(e, norm_axis)
+        return self.policy.select(e, norm_axis, ctx)
 
     def incremental(self, ctx: Ctx, state, c, forced_index=None, forced_mask=None):
         """Returns (c_tilde, index, mask, state)."""
         ctx.add("gate_flops", c.size)
         p = state["p"]
-        index, mask = self._select(c - p, forced_index, forced_mask)
+        index, mask = self._select(c - p, forced_index, forced_mask, ctx)
         # The p update writes back rows of c at their own positions, so it is
         # a pure select — no scatter (TPU-first; exact).
         if self.structure == "row":
@@ -86,7 +86,7 @@ class TokenDeltaGate(TokenGate):
         ctx.add("gate_flops", c.size)
         p = state["p"]
         e = c - p
-        index, mask = self._select(e, forced_index, forced_mask)
+        index, mask = self._select(e, forced_index, forced_mask, ctx)
         if self.structure == "row":
             c_tilde = take_rows(c, index)
             e_tilde = take_rows(e, index)
@@ -114,7 +114,7 @@ class SimpleSTGTGate(TokenGate):
 
     def incremental(self, ctx: Ctx, state, c, forced_index=None, forced_mask=None):
         ctx.add("gate_flops", c.size)
-        index, mask = self._select(c - state["p"], forced_index, forced_mask)
+        index, mask = self._select(c - state["p"], forced_index, forced_mask, ctx)
         c_tilde = take_rows(c, index)
         return c_tilde, index, mask, {"p": c}
 
@@ -186,7 +186,7 @@ class MatmulDeltaAccumulator:
     ):
         product = state["product"]
         frac = valid_fraction(mask)
-        ctx.add("accumulator_flops", frac * v_n_tilde.size + 2 * product.size)
+        ctx.add("accumulator_flops", frac * float(v_n_tilde.size) + 2.0 * product.size)
         product = product + counted_matmul(ctx, a_n_tilde, v_delta_tilde, valid_frac=frac)
         product = product + counted_matmul(
             ctx, a_delta_tilde, v_n_tilde - v_delta_tilde, valid_frac=frac

@@ -78,7 +78,7 @@ def counted_add(ctx, a, b):
 def counted_matmul(ctx, a, b, valid_frac=1):
     """Batched matmul counting result.numel() * a.shape[-1] (counting.py:165-175)."""
     result = jnp.matmul(a, b, preferred_element_type=a.dtype)
-    ctx.add("matmul_flops", valid_frac * (result.size * a.shape[-1]))
+    ctx.add("matmul_flops", valid_frac * float(result.size * a.shape[-1]))
     return result
 
 
@@ -149,14 +149,14 @@ class Linear(Module):
             jnp.matmul(x, params["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
             + params["bias"].astype(x.dtype)
         )
-        ctx.add("linear_flops", valid_frac * (x.size * self.out_features))
-        ctx.add("bias_flops", valid_frac * y.size)
+        ctx.add("linear_flops", valid_frac * float(x.size * self.out_features))
+        ctx.add("bias_flops", valid_frac * float(y.size))
         return y
 
     def apply_linear(self, ctx, params, x, valid_frac=1):
         """Matmul part only (reference CountedLinear.forward_linear)."""
         y = jnp.matmul(x, params["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
-        ctx.add("linear_flops", valid_frac * (x.size * self.out_features))
+        ctx.add("linear_flops", valid_frac * float(x.size * self.out_features))
         return y
 
     def apply_bias(self, ctx, params, x):

@@ -46,17 +46,17 @@ class TokenNormTopK:
     def capacity(self, n_tokens):
         return min(self.k, n_tokens)
 
-    def select(self, e, norm_axis):
+    def select(self, e, norm_axis, ctx=None):
         """e: error tensor; norm reduced over ``norm_axis``; token axis is the
         remaining trailing axis. Returns (index, mask)."""
         norms = _vector_norm(e, norm_axis, self.order)
-        index, mask = self.select_from_norms(norms)
+        index, mask = self.select_from_norms(norms, ctx)
         if self.save_status:
             self.last_input = e
             self.last_output = index
         return index, mask
 
-    def select_from_norms(self, norms):
+    def select_from_norms(self, norms, ctx=None):
         """Select from precomputed error norms (..., N) — used by fused
         kernels that produce the norms themselves."""
         k = self.capacity(norms.shape[-1])
@@ -92,11 +92,21 @@ class TokenNormThreshold:
     def capacity(self, n_tokens):
         return n_tokens if self._capacity is None else min(self._capacity, n_tokens)
 
-    def select(self, e, norm_axis):
-        return self.select_from_norms(_vector_norm(e, norm_axis, self.order))
+    def select(self, e, norm_axis, ctx=None):
+        return self.select_from_norms(_vector_norm(e, norm_axis, self.order), ctx)
 
-    def select_from_norms(self, norms):
+    def select_from_norms(self, norms, ctx=None):
         k = self.capacity(norms.shape[-1])
         values, index = jax.lax.top_k(norms, k)
         mask = values > self.threshold
+        if ctx is not None and k < norms.shape[-1]:
+            # Saturation signal for capacity-bucketed dispatch
+            # (utils/bucketing.py): a gate whose EVERY capacity slot is over
+            # threshold may have truncated the selection — the dispatcher
+            # escalates to a larger compiled bucket and re-runs, keeping
+            # results exact. Counted as #saturated batch rows.
+            ctx.add(
+                "policy_saturated",
+                jnp.sum(jnp.all(mask, axis=-1).astype(jnp.float32)),
+            )
         return index.astype(jnp.int32), mask

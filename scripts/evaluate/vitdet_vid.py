@@ -24,11 +24,31 @@ def evaluate_vitdet_metrics(model, params, data, config):
     mean_ap = MeanAveragePrecision()
     c, in_h, in_w = model.input_shape
 
-    @jax.jit
-    def step(p, state, frame, content_hw):
-        ctx = Ctx(count_mode=True)
-        out, state = model.apply(ctx, p, state, frame, content_hw=content_hw)
-        return out, state, ctx.counts
+    def build_step(_capacity=None):
+        @jax.jit
+        def jitted(p, state, frame, content_hw):
+            ctx = Ctx(count_mode=True)
+            out, state = model.apply(ctx, p, state, frame, content_hw=content_hw)
+            return out, state, ctx.counts
+
+        return lambda state, frame, hw: jitted(params, state, frame, hw)
+
+    # Capacity-bucketed dispatch for threshold policies (exact via
+    # saturation-triggered escalation, utils/bucketing.py); other policies
+    # use one fixed compiled step.
+    from eventful_transformer_tpu.core.gating import TokenGate
+    from eventful_transformer_tpu.core.policies import TokenNormThreshold
+    from eventful_transformer_tpu.utils.bucketing import BucketedThresholdStep
+
+    gates = model.modules_of_type(TokenGate)
+    policy = gates[0].policy if gates else None
+    buckets = config.get("bucket_capacities")
+    if buckets and isinstance(policy, TokenNormThreshold):
+        step = BucketedThresholdStep(model, build_step, policy.threshold, buckets)
+    else:
+        fixed = build_step()
+        step = lambda state, frame, hw: fixed(state, frame, hw)
+        step.reset = lambda: None
 
     total_counts = Counts()
     n_frames = 0
@@ -36,6 +56,7 @@ def evaluate_vitdet_metrics(model, params, data, config):
     for i in range(n_items):
         vid_item = data[i]
         state = model.init_state()
+        step.reset()
         for t in range(len(vid_item)):
             frame, annotations = vid_item[t]
             frame = np.asarray(frame, np.float32)
@@ -45,7 +66,7 @@ def evaluate_vitdet_metrics(model, params, data, config):
             padded = np.zeros((1, c, in_h, in_w), np.float32)
             padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
             content_hw = np.asarray(frame.shape[-2:], np.int32)
-            out, state, counts = step(params, state, padded, content_hw)
+            out, state, counts = step(state, padded, content_hw)
             mask = np.asarray(out["mask"])
             mean_ap.update(
                 [
