@@ -1,10 +1,11 @@
-"""Region Proposal Network, inference path (detectron2 RPN +
-StandardRPNHead as configured in configs/detectron/vitdet_b_vid.py:16-33).
+"""Region Proposal Network (detectron2 RPN + StandardRPNHead as configured
+in configs/detectron/vitdet_b_vid.py:16-33).
 
 Static shapes throughout: per-level top-k, then one batched (per-level)
 NMS with fixed output capacity (post_nms_topk) and a validity mask.
-Training-side machinery (anchor matching, sampling, losses) is not needed
-for the reference's capabilities (it never trains the detector)."""
+Train-side machinery (anchor matching, sampling, losses) lives in
+detection/training.py; ``propose(training=True)`` selects the train-time
+(pre, post)_nms_topk values."""
 
 from __future__ import annotations
 
@@ -32,8 +33,10 @@ class RPN:
         aspect_ratios=(0.5, 1.0, 2.0),
         strides=(4, 8, 16, 32, 64),
         anchor_offset=0.0,
-        pre_nms_topk=1000,  # test-time value (reference config :31)
-        post_nms_topk=300,
+        # (train, test) tuples per the reference config (:31-32); a bare int
+        # is treated as the test-time value.
+        pre_nms_topk=(2000, 1000),
+        post_nms_topk=(1000, 300),
         nms_thresh=0.7,
         min_box_size=0.0,
     ):
@@ -44,8 +47,9 @@ class RPN:
         self.aspect_ratios = tuple(aspect_ratios)
         self.strides = tuple(strides)
         self.anchor_offset = anchor_offset
-        self.pre_nms_topk = pre_nms_topk
-        self.post_nms_topk = post_nms_topk
+        as_pair = lambda v: (v, v) if isinstance(v, int) else tuple(v)
+        self.pre_nms_topk = as_pair(pre_nms_topk)
+        self.post_nms_topk = as_pair(post_nms_topk)
         self.nms_thresh = nms_thresh
         self.min_box_size = min_box_size
 
@@ -82,16 +86,19 @@ class RPN:
         b = feature.shape[0]
         return logits.reshape(b, -1), deltas.reshape(b, -1, 4)
 
-    def propose(self, params, features, image_size):
+    def propose(self, params, features, image_size, training=False):
         """features: list of (1, H_l, W_l, C). Returns (boxes (P, 4),
-        scores (P,), mask (P,)) with P = post_nms_topk, batch 1."""
+        scores (P,), mask (P,)) with P = post_nms_topk, batch 1.
+        ``training`` selects the (train, test) topk pair (static)."""
+        pre_nms_topk = self.pre_nms_topk[0 if training else 1]
+        post_nms_topk = self.post_nms_topk[0 if training else 1]
         feature_sizes = [f.shape[1:3] for f in features]
         anchors = self.anchors(feature_sizes)
         all_boxes, all_scores, all_levels = [], [], []
         for level, (feature, level_anchors) in enumerate(zip(features, anchors)):
             logits, deltas = self.head(params, feature)
             logits, deltas = logits[0], deltas[0]
-            k = min(self.pre_nms_topk, logits.shape[0])
+            k = min(pre_nms_topk, logits.shape[0])
             top_scores, top_idx = jax.lax.top_k(logits, k)
             top_deltas = deltas[top_idx]
             top_anchors = level_anchors[top_idx]
@@ -106,7 +113,7 @@ class RPN:
         scores = jnp.concatenate(all_scores)
         levels = jnp.concatenate(all_levels)
         keep_idx, mask = batched_nms(
-            boxes, scores, levels, self.nms_thresh, self.post_nms_topk
+            boxes, scores, levels, self.nms_thresh, post_nms_topk
         )
         return boxes[keep_idx], jnp.where(mask, scores[keep_idx], -jnp.inf), mask
 
