@@ -109,6 +109,58 @@ def _compaction_onehot(cov_row, kcap, dtype):
     return e.astype(dtype)
 
 
+def _topk_cov(new, p_row, kcap):
+    """In-kernel exact top-k selection coverage.
+
+    new, p_row: (N, C) f32 (gate-domain current + reference state). Returns
+    cov (1, N) f32, 1.0 at the kcap largest error norms — the same SET
+    jax.lax.top_k selects (ties at the k-th value broken by smallest index).
+
+    The k-th largest norm is found by binary search over the norm's int32
+    bit pattern (monotonic for non-negative floats), 31 VPU reductions —
+    no sort, no HBM round trip.
+
+    STATUS: exact (fuzz-tested vs lax.top_k) but measured SLOWER than the
+    two-phase path at ViViT shapes (+80us/kernel: the 31 bisection
+    reductions serialize per grid instance, while the separate norms kernel
+    + XLA top_k overlap with neighbors). Kept as an option (cov=None);
+    blocks default to two-phase.
+    """
+    err = new - p_row
+    norms = jnp.sqrt(jnp.sum(err * err, axis=-1, keepdims=True))  # (N, 1)
+    bits = pltpu.bitcast(norms, jnp.int32)  # monotonic: norms >= 0
+
+    lo = jnp.int32(0)
+    hi = jnp.int32(2**31 - 1)
+    # Unrolled, branch-free (where-select) bisection: 31 steps pin the
+    # exact k-th largest bit pattern.
+    for _ in range(31):
+        span = hi - lo
+        # ceil((lo + hi) / 2) without int32 overflow at hi = 2^31 - 1
+        mid = lo + (span >> 1) + (span & 1)
+        take = jnp.sum((bits >= mid).astype(jnp.int32)) >= kcap
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, mid - 1)
+    gt = bits > lo  # strictly above the k-th value: fewer than kcap
+    n_gt = jnp.sum(gt.astype(jnp.int32))
+    eq = (bits == lo).astype(jnp.float32)  # (N, 1)
+    # ties: keep the smallest indices — rank ties by exclusive prefix count
+    n = eq.shape[0]
+    tri_lt = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    eq_before = jax.lax.dot_general(
+        eq.reshape(1, n), tri_lt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(n, 1)
+    fill = (eq > 0) & (eq_before < (kcap - n_gt).astype(jnp.float32))
+    cov = (gt | fill).astype(jnp.float32)  # (N, 1)
+    return cov.reshape(1, n)
+
+
 def _copy_precision(dtype):
     """Precision for the one-hot copy matmuls, which must be EXACT.
 
@@ -121,21 +173,31 @@ def _copy_precision(dtype):
     return jax.lax.Precision.DEFAULT
 
 
-def _select_state(x_row, p_row, cov_row, scale, bias, ln_mode):
-    """p' = where(cov, ln(x) if post else x, p); returns (p', ln_x_or_None)."""
-    # Reshape the f32 before comparing: Mosaic can't insert a minor dim
-    # on i1 vectors.
-    covc = cov_row[0][:, None] > 0  # (N, 1)
+def _gate_domain(x_row, scale, bias, ln_mode):
+    """The gate-domain view of the incoming tokens (f32)."""
     if ln_mode == "post":
-        new = _ln_f32(x_row, scale, bias)
-    else:  # "pre" / "none": gate state lives in the input domain
-        new = x_row.astype(jnp.float32)
+        return _ln_f32(x_row, scale, bias)
+    return x_row.astype(jnp.float32)  # "pre" / "none": input domain
+
+
+def _select_state(new, p_row, cov_row):
+    """p' = where(cov, new, p). cov_row (1, N) f32 (reshape the f32 before
+    comparing: Mosaic can't insert a minor dim on i1 vectors)."""
+    covc = cov_row[0][:, None] > 0  # (N, 1)
     return jnp.where(covc, new, p_row.astype(jnp.float32))
 
 
-def _make_linear_kernel(ln_mode, kcap, with_skip):
+def _make_linear_kernel(ln_mode, kcap, with_skip, select_topk):
     def kernel(*refs):
-        if with_skip:
+        if select_topk:
+            cov_refs = ()
+            if with_skip:
+                (x_ref, p_ref, b_ref, skip_ref, scale_ref, bias_ref,
+                 w_ref, wb_ref, p_out, b_out, y_out) = refs
+            else:
+                (x_ref, p_ref, b_ref, scale_ref, bias_ref,
+                 w_ref, wb_ref, p_out, b_out) = refs
+        elif with_skip:
             (x_ref, p_ref, b_ref, skip_ref, cov_ref, scale_ref, bias_ref,
              w_ref, wb_ref, p_out, b_out, y_out) = refs
         else:
@@ -143,8 +205,12 @@ def _make_linear_kernel(ln_mode, kcap, with_skip):
              w_ref, wb_ref, p_out, b_out) = refs
         scale = scale_ref[0].astype(jnp.float32)
         bias = bias_ref[0].astype(jnp.float32)
-        cov_row = cov_ref[0]  # (1, N)
-        p_new = _select_state(x_ref[0], p_ref[0], cov_row, scale, bias, ln_mode)
+        new = _gate_domain(x_ref[0], scale, bias, ln_mode)
+        if select_topk:
+            cov_row = _topk_cov(new, p_ref[0].astype(jnp.float32), kcap)
+        else:
+            cov_row = cov_ref[0]  # (1, N)
+        p_new = _select_state(new, p_ref[0], cov_row)
         p_out[0] = p_new.astype(p_out.dtype)
         e = _compaction_onehot(cov_row, kcap, p_out.dtype)  # (KCAP, N)
         # Compact the selected rows (exact row copies on the MXU).
@@ -185,8 +251,12 @@ def gate_group_linear(
     """Fused gate->linear->buffer group.
 
     x (B, N, C) group input; p (B, N, C) gate state; b (B, N, F) token
-    buffer; cov (B, N) selection coverage (>0 = selected); w (C, F), wb (F,).
-    skip (B, N, F) optional fused residual.
+    buffer; w (C, F), wb (F,); skip (B, N, F) optional fused residual.
+
+    cov (B, N) is the selection coverage (>0 = selected) — pass ``None`` to
+    select the top-``kcap`` error norms INSIDE the kernel (exact lax.top_k
+    set; saves the separate norms pass + XLA top_k round trip; only valid
+    for mask-free fixed-k policies).
 
     Returns (p', b') or (p', b', b' + skip). ln_mode as in gate_fused.py:
     "post" = gate after LN (p in LN domain), "pre" = gate before LN,
@@ -195,6 +265,7 @@ def gate_group_linear(
     bsz, n, c = x.shape
     f = w.shape[-1]
     with_skip = skip is not None
+    select_topk = cov is None
     row = lambda i: (i, 0, 0)
     vec = lambda i: (0, 0)
     in_specs = [
@@ -206,15 +277,16 @@ def gate_group_linear(
     if with_skip:
         in_specs.append(pl.BlockSpec((1, n, f), row))
         args.append(skip)
+    if not select_topk:
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)))
+        args.append(cov.reshape(bsz, 1, n).astype(jnp.float32))
     in_specs += [
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
         pl.BlockSpec((1, c), vec),
         pl.BlockSpec((1, c), vec),
         pl.BlockSpec((c, f), vec),
         pl.BlockSpec((1, f), vec),
     ]
     args += [
-        cov.reshape(bsz, 1, n).astype(jnp.float32),
         scale.reshape(1, -1),
         bias.reshape(1, -1),
         w,
@@ -232,7 +304,7 @@ def gate_group_linear(
         out_specs.append(pl.BlockSpec((1, n, f), row))
         out_shape.append(jax.ShapeDtypeStruct((bsz, n, f), x.dtype))
     outs = pl.pallas_call(
-        _make_linear_kernel(ln_mode, kcap, with_skip),
+        _make_linear_kernel(ln_mode, kcap, with_skip, select_topk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bsz,),
@@ -251,13 +323,22 @@ def gate_group_linear(
     return tuple(outs)
 
 
-def _make_mlp_kernel(ln_mode, kcap):
-    def kernel(x_ref, p_ref, b_ref, cov_ref, scale_ref, bias_ref,
-               w1_ref, b1_ref, w2_ref, b2_ref, p_out, b_out, y_out):
+def _make_mlp_kernel(ln_mode, kcap, select_topk):
+    def kernel(*refs):
+        if select_topk:
+            (x_ref, p_ref, b_ref, scale_ref, bias_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, p_out, b_out, y_out) = refs
+        else:
+            (x_ref, p_ref, b_ref, cov_ref, scale_ref, bias_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, p_out, b_out, y_out) = refs
         scale = scale_ref[0].astype(jnp.float32)
         bias = bias_ref[0].astype(jnp.float32)
-        cov_row = cov_ref[0]
-        p_new = _select_state(x_ref[0], p_ref[0], cov_row, scale, bias, ln_mode)
+        new = _gate_domain(x_ref[0], scale, bias, ln_mode)
+        if select_topk:
+            cov_row = _topk_cov(new, p_ref[0].astype(jnp.float32), kcap)
+        else:
+            cov_row = cov_ref[0]
+        p_new = _select_state(new, p_ref[0], cov_row)
         p_out[0] = p_new.astype(p_out.dtype)
         e = _compaction_onehot(cov_row, kcap, p_out.dtype)
         c = jax.lax.dot_general(
@@ -305,29 +386,42 @@ def gate_group_mlp(
     x doubles as the skip (the reference's skip_2 is the MLP group input,
     blocks.py:446-450). The hidden activation (KCAP, 4C) never leaves VMEM.
 
-    Returns (p', b', y) with y = b' + x.
+    cov: selection coverage, or ``None`` for in-kernel top-kcap selection
+    (see gate_group_linear). Returns (p', b', y) with y = b' + x.
     """
     bsz, n, c = x.shape
     h_dim = w1.shape[-1]
+    select_topk = cov is None
     row = lambda i: (i, 0, 0)
     vec = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, c), row),
+    ]
+    args = [x, p, b]
+    if not select_topk:
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)))
+        args.append(cov.reshape(bsz, 1, n).astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((1, c), vec),
+        pl.BlockSpec((1, c), vec),
+        pl.BlockSpec((c, h_dim), vec),
+        pl.BlockSpec((1, h_dim), vec),
+        pl.BlockSpec((h_dim, c), vec),
+        pl.BlockSpec((1, c), vec),
+    ]
+    args += [
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+    ]
     return pl.pallas_call(
-        _make_mlp_kernel(ln_mode, kcap),
+        _make_mlp_kernel(ln_mode, kcap, select_topk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bsz,),
-            in_specs=[
-                pl.BlockSpec((1, n, c), row),
-                pl.BlockSpec((1, n, c), row),
-                pl.BlockSpec((1, n, c), row),
-                pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, c), vec),
-                pl.BlockSpec((1, c), vec),
-                pl.BlockSpec((c, h_dim), vec),
-                pl.BlockSpec((1, h_dim), vec),
-                pl.BlockSpec((h_dim, c), vec),
-                pl.BlockSpec((1, c), vec),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, n, c), row),
                 pl.BlockSpec((1, n, c), row),
@@ -346,10 +440,4 @@ def gate_group_mlp(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        x, p, b,
-        cov.reshape(bsz, 1, n).astype(jnp.float32),
-        scale.reshape(1, -1),
-        bias.reshape(1, -1),
-        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
-    )
+    )(*args)

@@ -33,3 +33,44 @@ def test_gather_rows(rng):
     got = gather_rows(jnp.asarray(buf), jnp.asarray(idx), interpret=True)
     want = np.stack([buf[b][idx[b]] for b in range(B)])
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_gate_group_in_kernel_topk(rng):
+    """cov=None (in-kernel bit-bisection top-k) selects exactly the
+    lax.top_k set: outputs match the cov-input path bit-for-bit."""
+    import jax
+
+    from eventful_transformer_tpu.core.indexing import coverage
+    from eventful_transformer_tpu.ops.pallas.gate_group import (
+        gate_group_linear,
+        gate_group_mlp,
+        LN_EPS,
+    )
+
+    B, N, C, F, K = 2, 24, 64, 128, 9
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x, p, b = f32(B, N, C), f32(B, N, C), f32(B, N, F)
+    scale, bias = f32(C), f32(C)
+    w, wb = f32(C, F) * 0.02, f32(F)
+
+    def ln(v):
+        m = v.mean(-1, keepdims=True)
+        var = jnp.square(v - m).mean(-1, keepdims=True)
+        return (v - m) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+    interp = jax.devices()[0].platform == "cpu"
+    norms = jnp.linalg.norm(ln(x) - p, axis=-1)
+    _, idx = jax.lax.top_k(norms, K)
+    cov = coverage(idx.astype(jnp.int32), None, N, 3)
+    kw = dict(ln_mode="post", kcap=K, interpret=interp)
+    p_ref, y_ref = gate_group_linear(x, p, b, cov, scale, bias, w, wb, **kw)
+    p2, y2 = gate_group_linear(x, p, b, None, scale, bias, w, wb, **kw)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
+
+    w1, b1, w2, b2 = f32(C, 2 * C) * 0.02, f32(2 * C), f32(2 * C, C) * 0.02, f32(C)
+    bm = f32(B, N, C)
+    r_ref = gate_group_mlp(x, p, bm, cov, scale, bias, w1, b1, w2, b2, **kw)
+    r2 = gate_group_mlp(x, p, bm, None, scale, bias, w1, b1, w2, b2, **kw)
+    for a, want in zip(r2, r_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want), rtol=1e-6, atol=1e-6)
