@@ -160,6 +160,21 @@ class Block(Module):
 
     # -- forward ------------------------------------------------------------
 
+    # Fused LN+MLP+residual kernel for the dense path (ops/pallas/dense_mlp):
+    # "auto" enables on TPU at inference; True forces (interpret off-TPU).
+    fused_dense_mlp = "auto"
+
+    def _use_dense_mlp_kernel(self, ctx):
+        if self.fused_dense_mlp is True:
+            return True
+        # training needs gradients: pallas_call has no VJP here
+        if self.fused_dense_mlp != "auto" or ctx.training:
+            return False
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
     def apply(self, ctx: Ctx, params, state, x, aux=None):
         skip_1 = x
         x = layer_norm(x, params["input_layer_norm"], LN_EPS)
@@ -168,6 +183,28 @@ class Block(Module):
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
         x = self.projection.apply(ctx, params["projection"], x)
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
+        if self._use_dense_mlp_kernel(ctx):
+            from eventful_transformer_tpu.ops.pallas.dense_mlp import (
+                dense_mlp_residual,
+            )
+
+            interpret = jax.devices()[0].platform == "cpu"
+            ln = params["mlp_layer_norm"]
+            y = dense_mlp_residual(
+                x, ln["scale"], ln["bias"],
+                params["mlp_1"]["kernel"], params["mlp_1"]["bias"],
+                params["mlp_2"]["kernel"], params["mlp_2"]["bias"],
+                interpret=interpret,
+            )
+            # reference-parity counts for the fused LN+MLP+add
+            rows = x.size // x.shape[-1]
+            hidden = self.mlp_1.out_features
+            ctx.add("linear_flops", float(x.size * hidden))
+            ctx.add("bias_flops", float(rows * hidden))
+            ctx.add("linear_flops", float(rows * hidden * self.mlp_2.out_features))
+            ctx.add("bias_flops", float(rows * self.mlp_2.out_features))
+            ctx.add("add_flops", float(y.size))
+            return y, state
         skip_2 = x
         x = layer_norm(x, params["mlp_layer_norm"], LN_EPS)
         x = self._forward_mlp(ctx, params, x)
@@ -400,7 +437,7 @@ class EventfulTokenwiseBlock(Block):
             return False
         if self.fused_gates == "v1":
             return "v1" if self.recompute_buffers else False
-        if self.fused_gates in ("v2", "v2mlp", True):
+        if self.fused_gates in ("v2", "v2mlp", "v1v2", True):
             return "v2" if self.fused_gates is True else self.fused_gates
         try:
             import jax
@@ -504,7 +541,7 @@ class EventfulTokenwiseBlock(Block):
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
             x = b_new
-        elif mode == "v1":
+        elif mode in ("v1", "v1v2"):
             x, index, mask, state["qkv_gate"] = self._fused_gate_group(
                 ctx,
                 state["qkv_gate"],
@@ -758,7 +795,7 @@ class EventfulTokenwiseBlock(Block):
                 x, state["projection_accumulator"] = self.projection_accumulator.flush(
                     state["projection_accumulator"], x
                 )
-        elif mode == "v1":
+        elif mode in ("v1", "v1v2"):
             x, index, mask, state["projection_gate"] = self._fused_gate_group(
                 ctx,
                 state["projection_gate"],
@@ -793,7 +830,7 @@ class EventfulTokenwiseBlock(Block):
         """The MLP gate→op→buffer group, with its own fusion mode (the v2
         MLP kernel is the clearest per-shape win: the hidden activation
         never leaves VMEM)."""
-        if mode in ("v2", "v2mlp") and not flush:
+        if mode in ("v2", "v2mlp", "v1v2") and not flush:
             x, state = self._v2_group_mlp(ctx, params, state, x)
             return x
         skip_2 = x

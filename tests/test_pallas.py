@@ -74,3 +74,30 @@ def test_gate_group_in_kernel_topk(rng):
     r2 = gate_group_mlp(x, p, bm, None, scale, bias, w1, b1, w2, b2, **kw)
     for a, want in zip(r2, r_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_dense_mlp_residual_matches_unfused(rng):
+    """Fused LN+MLP+residual kernel == the unfused dense path (f32,
+    interpret on CPU), including FLOP-count parity."""
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import Block
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    blk = Block(dim=64, heads=4, mlp_ratio=2, input_size=(4, 6))
+    params = blk.init(jax.numpy.zeros(2, dtype="uint32"))
+    x = jnp.asarray(rng.standard_normal((2, 24, 64)).astype(np.float32))
+
+    blk.fused_dense_mlp = False
+    ctx_a = Ctx(count_mode=True)
+    want, _ = blk.apply(ctx_a, params, {}, x)
+
+    blk.fused_dense_mlp = True  # interpret mode on CPU
+    ctx_b = Ctx(count_mode=True)
+    got, _ = blk.apply(ctx_b, params, {}, x)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    ca = Counts.from_device(ctx_a.counts)
+    cb = Counts.from_device(ctx_b.counts)
+    for key in ca:
+        assert cb[key] == ca[key], key
