@@ -178,15 +178,32 @@ class CascadeROIHeads(StandardROIHeads):
             (20.0, 20.0, 10.0, 10.0),
             (30.0, 30.0, 15.0, 15.0),
         ),
+        with_mask=False,
         **kwargs,
     ):
         kwargs.pop("box_weights", None)
         super().__init__(num_classes, box_weights=stage_box_weights[0], **kwargs)
         self.stage_box_weights = tuple(tuple(w) for w in stage_box_weights)
+        # The COCO base config is cascade_mask_rcnn: instance masks for the
+        # final detections (detection/mask_head.py).
+        if with_mask:
+            from eventful_transformer_tpu.detection.mask_head import MaskHead
+
+            self.mask_head = MaskHead(num_classes, in_channels=self.in_channels)
+        else:
+            self.mask_head = None
 
     def init(self, key):
-        keys = jax.random.split(key, len(self.stage_box_weights))
-        return {"stages": [super(CascadeROIHeads, self).init(k) for k in keys]}
+        keys = jax.random.split(key, len(self.stage_box_weights) + 1)
+        params = {
+            "stages": [
+                super(CascadeROIHeads, self).init(k)
+                for k in keys[: len(self.stage_box_weights)]
+            ]
+        }
+        if self.mask_head is not None:
+            params["mask_head"] = self.mask_head.init(keys[-1])
+        return params
 
     def inference(self, params, features, proposals, proposal_mask, image_size):
         boxes = proposals
@@ -202,4 +219,9 @@ class CascadeROIHeads(StandardROIHeads):
             boxes = clip_boxes(boxes, image_size)
         probs = sum(stage_probs) / len(stage_probs)
         probs = probs[:, : self.num_classes]  # drop background
-        return self._nms_tail(probs, boxes[:, None, :], proposal_mask, image_size)
+        result = self._nms_tail(probs, boxes[:, None, :], proposal_mask, image_size)
+        if self.mask_head is not None:
+            result["masks"] = self.mask_head.inference(
+                params["mask_head"], features, result["boxes"], result["labels"]
+            )
+        return result

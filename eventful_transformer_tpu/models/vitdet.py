@@ -196,10 +196,15 @@ class ViTDet(Module):
             in_channels=output_channels, **(rpn_config or {})
         )
         roi_config = dict(roi_config or {})
-        # The COCO operating point uses 3-stage cascade heads
+        # The COCO operating point uses 3-stage cascade heads (+ the
+        # cascade_mask_rcnn base's mask head)
         # (reference configs/detectron/vitdet_b_coco.py:22-48); VID uses the
         # single-stage standard heads (configs/detectron/vitdet_b_vid.py:35).
-        roi_class = CascadeROIHeads if roi_config.pop("cascade", False) else StandardROIHeads
+        cascade = roi_config.pop("cascade", False)
+        with_mask = roi_config.pop("with_mask", False)
+        if cascade:
+            roi_config["with_mask"] = with_mask
+        roi_class = CascadeROIHeads if cascade else StandardROIHeads
         self.roi_heads = roi_class(
             num_classes=classes, in_channels=output_channels, **roi_config
         )

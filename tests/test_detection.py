@@ -411,3 +411,47 @@ class TestNativeMAP:
         a, b = m_native.compute(), m_numpy.compute()
         for key in ("map", "map_50", "map_75"):
             assert a[key] == pytest.approx(b[key], abs=1e-9), key
+
+
+class TestMaskHead:
+    def test_cascade_with_mask_end_to_end(self, rng):
+        """COCO-style cascade + mask head: 28x28 per-detection masks of the
+        detected class, in [0, 1], fixed shapes."""
+        config = dict(TINY_VITDET)
+        config["roi_config"] = dict(
+            config["roi_config"], cascade=True, with_mask=True
+        )
+        model = ViTDet(**config)
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+        frame = rng.integers(0, 255, (1, 3, 56, 60), dtype=np.uint8)
+        result, _ = model.apply(Ctx(), params, state, frame)
+        masks = np.asarray(result["masks"])
+        assert masks.shape == (20, 28, 28)
+        assert np.isfinite(masks).all() and (masks >= 0).all() and (masks <= 1).all()
+
+    def test_predictor_picks_label_channel(self, rng):
+        from eventful_transformer_tpu.detection.mask_head import MaskHead
+
+        head = MaskHead(num_classes=4, in_channels=8, conv_dims=(8,))
+        params = head.init(jax.random.PRNGKey(1))
+        # make the predictor produce channel-identifiable logits
+        k = np.zeros((1, 1, 8, 4), np.float32)
+        b = np.asarray([10.0, -10.0, 20.0, -20.0], np.float32)
+        params["predictor"] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+        features = [
+            jnp.asarray(rng.standard_normal((1, 16 // s, 16 // s, 8)).astype(np.float32))
+            for s in (1, 2, 4, 8)
+        ]
+        boxes = jnp.asarray([[1.0, 1.0, 30.0, 30.0], [2.0, 2.0, 40.0, 40.0]])
+        labels = jnp.asarray([0, 3], jnp.int32)
+        masks = np.asarray(head.inference(params, features, boxes, labels))
+        # sigmoid(10) ~ 1 for label 0; sigmoid(-20) ~ 0 for label 3
+        assert (masks[0] > 0.99).all()
+        assert (masks[1] < 0.01).all()
+
+    def test_coco_config_enables_mask(self):
+        from eventful_transformer_tpu.utils.config import load_config
+
+        coco = load_config("configs/models/vitdet_b_coco.yml")
+        assert coco["model"]["roi_config"]["with_mask"] is True
