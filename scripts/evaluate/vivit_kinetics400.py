@@ -17,9 +17,19 @@ def main():
     config = initialize_run(
         config_location=Path("configs", "evaluate", "vivit_kinetics400")
     )
-    data = Kinetics400(
-        Path("data", "kinetics400"), split="val", decode_size=224, decode_fps=25
-    )
+    if config.get("synthetic"):
+        # Dataset-free drive (temporally-redundant generated clips): the
+        # full CLI -> config -> model -> sweep -> CSV pipeline without
+        # Kinetics-400 on disk.
+        from eventful_transformer_tpu.data.synthetic import (
+            SyntheticVideoClassification,
+        )
+
+        data = SyntheticVideoClassification(**dict(config["synthetic"]))
+    else:
+        data = Kinetics400(
+            Path("data", "kinetics400"), split="val", decode_size=224, decode_fps=25
+        )
     run_evaluations(config, FactorizedViViT, data, evaluate_vivit_metrics)
 
 
