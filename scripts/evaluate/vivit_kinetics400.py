@@ -30,7 +30,19 @@ def main():
         data = Kinetics400(
             Path("data", "kinetics400"), split="val", decode_size=224, decode_fps=25
         )
-    run_evaluations(config, FactorizedViViT, data, evaluate_vivit_metrics)
+    evaluate_fn = evaluate_vivit_metrics
+    if config.get("data_parallel"):
+        # Shard videos over the "data" mesh axis (videos are independent:
+        # state resets per video). `data_parallel=true` on any multi-device
+        # host; weights replicate, metrics aggregate on host.
+        from eventful_transformer_tpu.parallel.evaluate import (
+            evaluate_vivit_metrics_dp,
+        )
+        from eventful_transformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+        evaluate_fn = lambda m, p, d, c: evaluate_vivit_metrics_dp(m, p, d, c, mesh)
+    run_evaluations(config, FactorizedViViT, data, evaluate_fn)
 
 
 if __name__ == "__main__":
