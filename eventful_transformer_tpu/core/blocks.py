@@ -524,7 +524,8 @@ class EventfulTokenwiseBlock(Block):
     def _apply_incremental(self, ctx, params, state, x, aux):
         state = dict(state)
         skip_1 = x
-        mode = self._fused_mode(x.shape[-2])
+        # Pallas kernels have no VJP here; training runs the XLA paths.
+        mode = False if ctx.training else self._fused_mode(x.shape[-2])
         if mode == "v2":
             ln_mode = "pre" if self.gate_before_ln else "post"
             (p_new, b_new), index, mask = self._v2_group_linear(
@@ -766,7 +767,7 @@ class EventfulTokenwiseBlock(Block):
     def _post_attention(self, ctx, params, state, x, skip_1, flush):
         """Projection and MLP gate→op→buffer groups
         (reference blocks.py:430-450)."""
-        mode = False if flush else self._fused_mode(x.shape[-2])
+        mode = False if (flush or ctx.training) else self._fused_mode(x.shape[-2])
         if mode == "v2":
             # Whole-group fused kernel: folds the skip-add in; the counted
             # add below is replicated manually.
