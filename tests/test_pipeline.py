@@ -83,3 +83,34 @@ class TestPipeline:
                     np.asarray(g, np.float32), np.asarray(w, np.float32),
                     rtol=1e-4, atol=1e-5,
                 )
+
+
+class TestUlyssesAttention:
+    def test_matches_single_device(self, rng):
+        """Sequence-parallel attention (tokens sharded, two all-to-alls)
+        equals the single-device attention exactly."""
+        from math import sqrt
+
+        from eventful_transformer_tpu.parallel.sequence import make_ulysses_attention
+
+        B_, N_, C_, H_ = 2, 32, 64, 8
+        scale = sqrt(C_ // H_)
+        qkv = jnp.asarray(rng.standard_normal((B_, N_, 3 * C_)).astype(np.float32))
+
+        def single(qkv):
+            x = qkv.reshape(B_, N_, 3, H_, C_ // H_)
+            q, k, v = jnp.transpose(x, (2, 0, 3, 1, 4))
+            a = jax.nn.softmax(
+                jnp.matmul(q / scale, jnp.swapaxes(k, -2, -1),
+                           preferred_element_type=jnp.float32),
+                axis=-1,
+            ).astype(qkv.dtype)
+            o = jnp.matmul(a, v, preferred_element_type=jnp.float32).astype(qkv.dtype)
+            return jnp.transpose(o, (0, 2, 1, 3)).reshape(B_, N_, C_)
+
+        mesh = make_mesh((4,), ("seq",), devices=jax.devices()[:4])
+        fn = make_ulysses_attention(H_, scale, mesh, axis="seq")
+        got = fn(qkv)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(single(qkv)), rtol=1e-5, atol=1e-5
+        )
