@@ -143,15 +143,34 @@ def train_vivit_temporal(config, train_data, val_data, model_class=None):
             top_5.update(np.asarray(probs), np.asarray(labels))
         return log_epoch("train" if training else "val", step)
 
+    # Full-state checkpoint/resume (params + optimizer + epoch), beyond the
+    # reference's weights-only saves (utils/checkpoint.py, Orbax).
+    ckpt_dir = config.get("checkpoint_dir")
+    start_epoch = 0
+    if ckpt_dir:
+        from eventful_transformer_tpu.utils.checkpoint import (
+            latest_epoch,
+            restore_train_state,
+            save_train_state,
+        )
+
+        done = latest_epoch(ckpt_dir)
+        if done is not None:
+            params, opt_state = restore_train_state(ckpt_dir, done, params, opt_state)
+            start_epoch = done
+            print(f"Resumed from {ckpt_dir} at epoch {done}", flush=True)
+
     print("Validation pass", flush=True)
-    run_pass(0, training=False)
+    run_pass(start_epoch, training=False)
     n_epochs = config["epochs"]
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         print(f"\nEpoch {epoch + 1}/{n_epochs}", flush=True)
         print("Training pass", flush=True)
         run_pass(epoch + 1, training=True)
         print("Validation pass", flush=True)
         run_pass(epoch + 1, training=False)
+        if ckpt_dir:
+            save_train_state(ckpt_dir, epoch + 1, params, opt_state)
 
     if tensorboard is not None:
         tensorboard.close()
