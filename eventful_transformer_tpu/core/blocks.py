@@ -437,7 +437,7 @@ class EventfulTokenwiseBlock(Block):
             return False
         if self.fused_gates == "v1":
             return "v1" if self.recompute_buffers else False
-        if self.fused_gates in ("v2", "v2mlp", "v1v2", True):
+        if self.fused_gates in ("v2", "v2mlp", "v1v2", "v3", True):
             return "v2" if self.fused_gates is True else self.fused_gates
         try:
             import jax
@@ -516,6 +516,11 @@ class EventfulTokenwiseBlock(Block):
         x = self._post_attention(ctx, params, state, x, skip_1, flush=True)
         return x, state
 
+    # Whether _attention_incremental consumes the qkv gate's selection
+    # indices (the eventful-attention subclasses do; index-free gates can
+    # then take the cheaper norms->coverage selection path).
+    _attention_uses_index = False
+
     def _attention_flush(self, ctx, params, state, x, aux):
         return self._forward_attention(ctx, params, state, x, aux)
 
@@ -538,11 +543,12 @@ class EventfulTokenwiseBlock(Block):
                 ln_mode,
                 self.qkv,
                 params["qkv"],
+                need_index=self._attention_uses_index,
             )
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
             x = b_new
-        elif mode in ("v1", "v1v2"):
+        elif mode in ("v1", "v1v2", "v3"):
             x, index, mask, state["qkv_gate"] = self._fused_gate_group(
                 ctx,
                 state["qkv_gate"],
@@ -553,13 +559,32 @@ class EventfulTokenwiseBlock(Block):
                 params["qkv"],
                 ln_mode="pre" if self.gate_before_ln else "post",
             )
+        elif (
+            "qkv_accumulator" not in state
+            and not self._attention_uses_index
+            and self.qkv_gate.select_only_ok()
+        ):
+            # buffer == qkv(p) exactly (p holds each token's value at its
+            # last update); recompute densely instead of scatter-blending.
+            # The gathered rows and indices are never consumed, so the gate
+            # runs select-only (norms -> coverage, no row gather/one-hot).
+            ln = params["input_layer_norm"]
+            c = x if self.gate_before_ln else layer_norm(x, ln, LN_EPS)
+            kcap, state["qkv_gate"] = self.qkv_gate.incremental_select(
+                ctx, state["qkv_gate"], c
+            )
+            index, mask = None, None
+            p = state["qkv_gate"]["p"]
+            if self.gate_before_ln:
+                p = layer_norm(p, ln, LN_EPS)
+            x = self.qkv.apply(ctx, params["qkv"], p, valid_frac=kcap / p.shape[-2])
         else:
             x_t, index, mask, state["qkv_gate"] = self._gate_ln(
                 ctx, params["input_layer_norm"], self.qkv_gate, state["qkv_gate"], x
             )
             if "qkv_accumulator" not in state:
-                # buffer == qkv(p) exactly (p holds each token's value at its
-                # last update); recompute densely instead of scatter-blending.
+                # buffer == qkv(p) exactly; recompute densely (gathered rows
+                # unused, but the caller consumes the indices).
                 p = state["qkv_gate"]["p"]
                 if self.gate_before_ln:
                     p = layer_norm(p, params["input_layer_norm"], LN_EPS)
@@ -661,36 +686,55 @@ class EventfulTokenwiseBlock(Block):
     # -- v2 whole-group fused kernels (ops/pallas/gate_group.py) ---------------
 
     @staticmethod
-    def _v2_select(ctx, gate, gate_state, x, ln_params, ln_mode):
-        """Shared v2 front half: error norms -> policy -> coverage."""
+    def _v2_select(ctx, gate, gate_state, x, ln_params, ln_mode, norms=None,
+                   need_index=False):
+        """Shared v2 front half: error norms -> policy -> coverage.
+        ``norms``: precomputed by an upstream fused kernel (v3).
+        ``need_index``: the caller consumes the selection indices themselves
+        (the eventful-attention blocks); otherwise mask-free top-k policies
+        take the cheaper norms->coverage path (no index gather, no one-hot).
+        Returns (kcap, index, mask, cov, interpret); index is None on the
+        coverage-only path."""
         import jax
 
-        from eventful_transformer_tpu.core.indexing import coverage
+        from eventful_transformer_tpu.core.indexing import coverage, coverage_from_norms
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
         from eventful_transformer_tpu.ops.pallas.gate_fused import ln_norms
 
         interpret = jax.devices()[0].platform == "cpu"
         p = gate_state["p"]
         ctx.add("gate_flops", x.size)
-        if ln_mode == "post":
+        if norms is not None:
+            pass
+        elif ln_mode == "post":
             norms = ln_norms(
                 x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
             )
         else:  # "pre" / "none": error in the input domain
             norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
-        index, mask = gate.policy.select_from_norms(norms, ctx)
+        pol = gate.policy
+        if (
+            not need_index
+            and isinstance(pol, TokenNormTopK)
+            and not pol.save_status
+        ):
+            kcap = pol.capacity(x.shape[-2])
+            cov = coverage_from_norms(norms, kcap)
+            return kcap, None, None, cov, interpret
+        index, mask = pol.select_from_norms(norms, ctx)
         cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
-        return index, mask, cov, interpret
+        return index.shape[-1], index, mask, cov, interpret
 
     def _v2_group_linear(
         self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
-        linear_params, skip=None,
+        linear_params, skip=None, need_index=False,
     ):
         """Fused gate -> gathered linear -> buffer blend (-> skip-add).
         Returns (kernel outputs, index, mask); reference-parity counts."""
         from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_linear
 
-        index, mask, cov, interpret = self._v2_select(
-            ctx, gate, gate_state, x, ln_params, ln_mode
+        kcap, index, mask, cov, interpret = self._v2_select(
+            ctx, gate, gate_state, x, ln_params, ln_mode, need_index=need_index
         )
         if ln_mode == "none":
             scale = jnp.ones((x.shape[-1],), jnp.float32)
@@ -708,24 +752,24 @@ class EventfulTokenwiseBlock(Block):
             linear_params["bias"],
             skip,
             ln_mode=ln_mode,
-            kcap=index.shape[-1],
+            kcap=kcap,
             interpret=interpret,
         )
-        frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
+        frac = (kcap / x.shape[-2]) * valid_fraction(mask)
         rows = x.size // x.shape[-1]
         ctx.add("linear_flops", frac * float(x.size * linear.out_features))
         ctx.add("bias_flops", frac * float(rows * linear.out_features))
         return outs, index, mask
 
-    def _v2_group_mlp(self, ctx, params, state, x):
+    def _v2_group_mlp(self, ctx, params, state, x, norms=None):
         """Fused gate -> gathered 2-layer MLP -> buffer blend -> residual.
         The hidden activation never leaves VMEM."""
         from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_mlp
 
         ln_params = params["mlp_layer_norm"]
         ln_mode = "pre" if self.gate_before_ln else "post"
-        index, mask, cov, interpret = self._v2_select(
-            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode
+        kcap, index, mask, cov, interpret = self._v2_select(
+            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode, norms=norms
         )
         p_new, b_new, y = gate_group_mlp(
             x,
@@ -739,12 +783,12 @@ class EventfulTokenwiseBlock(Block):
             params["mlp_2"]["kernel"],
             params["mlp_2"]["bias"],
             ln_mode=ln_mode,
-            kcap=index.shape[-1],
+            kcap=kcap,
             interpret=interpret,
         )
         state["mlp_gate"] = {"p": p_new}
         state["mlp_accumulator"] = {"b": b_new}
-        frac = (index.shape[-1] / x.shape[-2]) * valid_fraction(mask)
+        frac = (kcap / x.shape[-2]) * valid_fraction(mask)
         rows = x.size // x.shape[-1]
         hidden = self.mlp_1.out_features
         ctx.add("linear_flops", frac * float(x.size * hidden))
@@ -787,6 +831,42 @@ class EventfulTokenwiseBlock(Block):
             state["projection_accumulator"] = {"b": b_new}
             ctx.add("add_flops", x.size)
             return self._post_projection(ctx, params, state, x, mode, flush)
+        if mode == "v3":
+            # Whole projection group + skip-add + the MLP gate's norms in ONE
+            # kernel (ops/pallas/gate_fused.py::select_linear_skip_norms) —
+            # the chain [select -> proj -> +skip -> next-gate norms] has no
+            # top_k boundary inside it, so it fuses into a single HBM pass.
+            from eventful_transformer_tpu.ops.pallas.gate_fused import (
+                select_linear_skip_norms,
+            )
+
+            gate_state = state["projection_gate"]
+            kcap, index, mask, cov, interpret = self._v2_select(
+                ctx, self.projection_gate, gate_state, x, None, "none"
+            )
+            ln2 = params["mlp_layer_norm"]
+            p_new, x, mlp_norms = select_linear_skip_norms(
+                x,
+                gate_state["p"],
+                cov,
+                params["projection"]["kernel"],
+                params["projection"]["bias"],
+                skip_1,
+                state["mlp_gate"]["p"],
+                ln2["scale"],
+                ln2["bias"],
+                next_ln=not self.gate_before_ln,
+                interpret=interpret,
+            )
+            state["projection_gate"] = {"p": p_new}
+            frac = (kcap / x.shape[-2]) * valid_fraction(mask)
+            rows = x.size // x.shape[-1]
+            ctx.add("linear_flops", frac * float(x.size * self.projection.out_features))
+            ctx.add("bias_flops", frac * float(rows * self.projection.out_features))
+            ctx.add("add_flops", x.size)
+            return self._post_projection(
+                ctx, params, state, x, mode, flush, mlp_norms=mlp_norms
+            )
         if flush:
             _, state["projection_gate"] = self.projection_gate.flush(
                 state["projection_gate"], x
@@ -806,6 +886,19 @@ class EventfulTokenwiseBlock(Block):
                 self.projection,
                 params["projection"],
                 ln_mode="none",
+            )
+        elif (
+            "projection_accumulator" not in state
+            and self.projection_gate.select_only_ok()
+        ):
+            # Recompute from gate state; gathered rows / indices unused, so
+            # the gate runs select-only (see the qkv group above).
+            kcap, state["projection_gate"] = self.projection_gate.incremental_select(
+                ctx, state["projection_gate"], x
+            )
+            p = state["projection_gate"]["p"]
+            x = self.projection.apply(
+                ctx, params["projection"], p, valid_frac=kcap / p.shape[-2]
             )
         else:
             x_t, index, mask, state["projection_gate"] = self.projection_gate.incremental(
@@ -827,12 +920,13 @@ class EventfulTokenwiseBlock(Block):
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
         return self._post_projection(ctx, params, state, x, mode, flush)
 
-    def _post_projection(self, ctx, params, state, x, mode, flush):
+    def _post_projection(self, ctx, params, state, x, mode, flush, mlp_norms=None):
         """The MLP gate→op→buffer group, with its own fusion mode (the v2
         MLP kernel is the clearest per-shape win: the hidden activation
-        never leaves VMEM)."""
-        if mode in ("v2", "v2mlp", "v1v2") and not flush:
-            x, state = self._v2_group_mlp(ctx, params, state, x)
+        never leaves VMEM). ``mlp_norms``: gate norms precomputed by the v3
+        fused projection kernel."""
+        if mode in ("v2", "v2mlp", "v1v2", "v3") and not flush:
+            x, state = self._v2_group_mlp(ctx, params, state, x, norms=mlp_norms)
             return x
         skip_2 = x
         if flush:
@@ -870,6 +964,8 @@ class EventfulTokenwiseBlock(Block):
 class EventfulMatmul1Block(EventfulTokenwiseBlock):
     """Adds eventfulness to the query-key product via an incrementally
     updated MatmulBuffer (reference blocks.py:466-540). Non-windowed only."""
+
+    _attention_uses_index = True
 
     def __init__(self, **super_kwargs):
         super().__init__(**super_kwargs)

@@ -75,6 +75,37 @@ class TokenGate:
             p = select_cols(p, c, index, mask)
         return c_tilde, index, mask, {"p": p}
 
+    def select_only_ok(self):
+        """Whether :meth:`incremental_select` may replace :meth:`incremental`
+        for consumers that never touch the gathered rows or indices."""
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+        return (
+            type(self) is TokenGate
+            and self.structure == "row"
+            and isinstance(self.policy, TokenNormTopK)
+            and not self.policy.save_status
+        )
+
+    def incremental_select(self, ctx: Ctx, state, c):
+        """Gate-state update WITHOUT gathering the selected rows — for
+        consumers that recompute the op from the reference state (the
+        buffer-free groups in core/blocks.py). Skips the (…, k, C) row
+        gather, the index materialization, and the (…, k, N) one-hot that
+        :func:`coverage` builds: selection comes straight from the norms
+        (:func:`core.indexing.coverage_from_norms`, exact top-k semantics).
+        Only valid when :meth:`select_only_ok`. Returns (kcap, state)."""
+        from eventful_transformer_tpu.core.indexing import coverage_from_norms
+        from eventful_transformer_tpu.core.policies import _vector_norm
+
+        ctx.add("gate_flops", c.size)
+        p = state["p"]
+        norms = _vector_norm(c - p, -1, self.policy.order)
+        kcap = self.policy.capacity(c.shape[-2])
+        cov = coverage_from_norms(norms, kcap)
+        p = jnp.where(cov[..., None] > 0, c, p)
+        return kcap, {"p": p}
+
 
 class TokenDeltaGate(TokenGate):
     """Token gate that also emits the error deltas ``e_tilde``

@@ -128,6 +128,29 @@ def coverage(index, mask, n, ndim):
     return jnp.sum(oh, axis=-2)
 
 
+def coverage_from_norms(norms, k):
+    """Top-k selection indicator straight from the error norms — the EXACT
+    set ``jax.lax.top_k`` selects (ties at the k-th value broken by smallest
+    index; XLA's top-k is stable) — without materializing the (..., k, n)
+    one-hot that :func:`coverage` builds from indices. Only valid for
+    mask-free fixed-k policies.
+
+    norms (..., n) non-negative -> cov (..., n) f32 with exactly min(k, n)
+    ones per row."""
+    import jax
+
+    if k >= norms.shape[-1]:
+        return jnp.ones(norms.shape, jnp.float32)
+    kth = jax.lax.top_k(norms, k)[0][..., k - 1 : k]  # (..., 1)
+    gt = norms > kth
+    n_gt = jnp.sum(gt.astype(jnp.int32), axis=-1, keepdims=True)
+    eq = norms == kth
+    # ties at the k-th value: keep the smallest indices up to the quota
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)  # inclusive
+    cov = gt | (eq & (tie_rank <= k - n_gt))
+    return cov.astype(jnp.float32)
+
+
 def select_rows(p, c, index, mask=None):
     """Replace the rows of ``p`` selected by ``index`` with the SAME rows of
     ``c``: equivalent to gather-from-c + scatter-into-p (the reference gate's

@@ -151,6 +151,107 @@ def ln_select_matmul(
     return p_new, y
 
 
+def _make_select_linear_skip_norms_kernel(next_ln):
+    def kernel(
+        x_ref, p_ref, cov_ref, skip_ref, pn_ref, scale_ref, bias_ref,
+        w_ref, wb_ref, p_out, y_out, n_out,
+    ):
+        cov = cov_ref[0, 0][:, None] > 0
+        # Gate domain = input domain (the projection gate, ln_mode "none").
+        p_new = jnp.where(
+            cov, x_ref[0].astype(jnp.float32), p_ref[0].astype(jnp.float32)
+        )
+        p_out[0] = p_new.astype(p_out.dtype)
+        y = jax.lax.dot_general(
+            p_new.astype(w_ref.dtype), w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + wb_ref[0].astype(jnp.float32)
+        # Round to the working dtype BEFORE the skip-add, exactly like the
+        # unfused Linear.apply -> counted_add sequence.
+        y = y.astype(y_out.dtype) + skip_ref[0]
+        y_out[0] = y
+        if next_ln:
+            yn = _ln_f32(
+                y, scale_ref[0].astype(jnp.float32), bias_ref[0].astype(jnp.float32)
+            )
+        else:
+            yn = y.astype(jnp.float32)
+        e = yn - pn_ref[0].astype(jnp.float32)
+        n_out[0, 0] = jnp.sqrt(jnp.sum(e * e, axis=-1))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("next_ln", "block_n", "interpret"))
+def select_linear_skip_norms(
+    x, p, cov, w, wb, skip, p_next, scale, bias, next_ln=True, block_n=256,
+    interpret=False,
+):
+    """Whole projection-group pass fused with the NEXT gate's error norms:
+
+        p'    = where(cov, x, p)            (input-domain gate-state select)
+        y     = p' @ w + wb + skip          (op recompute + fused residual)
+        norms = ||ln(y) - p_next||          (the next gate's selection norms;
+                                             ``next_ln=False`` skips the LN
+                                             for gate_before_ln stacks)
+
+    One read of x, p, skip, p_next and one write of p', y replace the five
+    separate XLA passes of the unfused chain (norms / select / matmul / add /
+    next-norms). Row-local throughout, so the grid blocks freely over N.
+    Returns (p', y, norms (B, N) f32).
+    """
+    b, n, c = x.shape
+    f = w.shape[-1]
+    block_n = min(block_n, n)
+    grid = (b, pl.cdiv(n, block_n))
+    row = lambda i, j: (i, j, 0)
+    vec = lambda i, j: (0, 0)
+    p_new, y, norms = pl.pallas_call(
+        _make_select_linear_skip_norms_kernel(next_ln),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_n, c), row),
+                pl.BlockSpec((1, block_n, c), row),
+                pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, block_n, f), row),
+                pl.BlockSpec((1, block_n, f), row),
+                pl.BlockSpec((1, f), vec),
+                pl.BlockSpec((1, f), vec),
+                pl.BlockSpec((c, f), vec),
+                pl.BlockSpec((1, f), vec),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_n, c), row),
+                pl.BlockSpec((1, block_n, f), row),
+                pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), p.dtype),
+            jax.ShapeDtypeStruct((b, n, f), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        p,
+        cov.reshape(b, 1, n).astype(jnp.float32),
+        skip,
+        p_next,
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+        w,
+        wb.reshape(1, -1),
+    )
+    return p_new, y, norms[:, 0]
+
+
 def _make_select_kernel(apply_ln):
     def kernel(x_ref, p_ref, cov_ref, scale_ref, bias_ref, p_out):
         cov = cov_ref[0, 0][:, None] > 0

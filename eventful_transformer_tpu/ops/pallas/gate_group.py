@@ -116,48 +116,34 @@ def _topk_cov(new, p_row, kcap):
     cov (1, N) f32, 1.0 at the kcap largest error norms — the same SET
     jax.lax.top_k selects (ties at the k-th value broken by smallest index).
 
-    The k-th largest norm is found by binary search over the norm's int32
-    bit pattern (monotonic for non-negative floats), 31 VPU reductions —
-    no sort, no HBM round trip.
-
-    STATUS: exact (fuzz-tested vs lax.top_k) but measured SLOWER than the
-    two-phase path at ViViT shapes (+80us/kernel: the 31 bisection
-    reductions serialize per grid instance, while the separate norms kernel
-    + XLA top_k overlap with neighbors). Kept as an option (cov=None);
-    blocks default to two-phase.
+    Selection by RANK: token i is selected iff fewer than kcap tokens are
+    strictly ahead of it under the total order (norm desc, index asc) —
+    exactly lax.top_k's stable order. The rank is a row-count of an (N, N)
+    comparison matrix: a handful of VPU broadcast ops + one (N, N)x(N, 1)
+    ones-matmul on the MXU. Unlike the bisection variant this used to be
+    (31 serialized scalar reductions, +80us/kernel), the comparison matrix
+    is one parallel pass, so the whole gate group fuses into a single
+    kernel with no separate norms pass and no XLA top_k round trip.
     """
     err = new - p_row
+    # sqrt to match the two-phase path's tie behavior exactly (top_k runs on
+    # sqrt'd norms there; f32 sqrt can merge near-ties that squared norms
+    # would distinguish).
     norms = jnp.sqrt(jnp.sum(err * err, axis=-1, keepdims=True))  # (N, 1)
-    bits = pltpu.bitcast(norms, jnp.int32)  # monotonic: norms >= 0
-
-    lo = jnp.int32(0)
-    hi = jnp.int32(2**31 - 1)
-    # Unrolled, branch-free (where-select) bisection: 31 steps pin the
-    # exact k-th largest bit pattern.
-    for _ in range(31):
-        span = hi - lo
-        # ceil((lo + hi) / 2) without int32 overflow at hi = 2^31 - 1
-        mid = lo + (span >> 1) + (span & 1)
-        take = jnp.sum((bits >= mid).astype(jnp.int32)) >= kcap
-        lo = jnp.where(take, mid, lo)
-        hi = jnp.where(take, hi, mid - 1)
-    gt = bits > lo  # strictly above the k-th value: fewer than kcap
-    n_gt = jnp.sum(gt.astype(jnp.int32))
-    eq = (bits == lo).astype(jnp.float32)  # (N, 1)
-    # ties: keep the smallest indices — rank ties by exclusive prefix count
-    n = eq.shape[0]
-    tri_lt = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ).astype(jnp.float32)
-    eq_before = jax.lax.dot_general(
-        eq.reshape(1, n), tri_lt,
+    n = norms.shape[0]
+    col = norms  # (N, 1): token i (broadcast over rows j)
+    row = norms.reshape(1, n)  # (1, N): token j
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ahead = (row > col) | ((row == col) & (idx_j < idx_i))  # j ahead of i
+    # rank_i = #ahead: ones-matmul row-count (exact: 0/1 values, f32 acc).
+    rank = jax.lax.dot_general(
+        ahead.astype(jnp.float32), jnp.ones((n, 1), jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(n, 1)
-    fill = (eq > 0) & (eq_before < (kcap - n_gt).astype(jnp.float32))
-    cov = (gt | fill).astype(jnp.float32)  # (N, 1)
+    )  # (N, 1)
+    cov = (rank < kcap).astype(jnp.float32)  # (N, 1)
     return cov.reshape(1, n)
 
 

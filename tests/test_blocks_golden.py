@@ -238,7 +238,7 @@ class TestThresholdPolicyInBlock:
 
 
 class TestFusedGateGroup:
-    @pytest.mark.parametrize("fused_mode", ["v1", "v2"])
+    @pytest.mark.parametrize("fused_mode", ["v1", "v2", "v2mlp", "v3"])
     def test_fused_matches_reference(self, rng, fused_mode):
         """The Pallas fused gate paths (interpret mode on CPU) are
         golden-exact incl. FLOP-count parity, both LN placements."""

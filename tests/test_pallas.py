@@ -101,3 +101,23 @@ def test_dense_mlp_residual_matches_unfused(rng):
     cb = Counts.from_device(ctx_b.counts)
     for key in ca:
         assert cb[key] == ca[key], key
+
+
+def test_coverage_from_norms_matches_topk(rng):
+    """coverage_from_norms == coverage(lax.top_k indices), incl. exact
+    tie-at-the-kth-value handling (top_k is stable: smallest indices win)."""
+    import jax
+
+    from eventful_transformer_tpu.core.indexing import coverage, coverage_from_norms
+
+    for trial in range(20):
+        B, N = 4, 31
+        k = int(rng.integers(1, N + 1))
+        norms = rng.standard_normal((B, N)).astype(np.float32) ** 2
+        if trial % 2:  # force heavy ties
+            norms = np.round(norms * 3.0) / 3.0
+        norms = jnp.asarray(norms)
+        _, idx = jax.lax.top_k(norms, k)
+        want = coverage(idx.astype(jnp.int32), None, N, 3)
+        got = coverage_from_norms(norms, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want)), (trial, k)
