@@ -57,8 +57,22 @@ COUNT_KEYS = (
 
 
 def zero_counts():
-    """A fresh device-side counts dict (all canonical keys, zeroed)."""
-    return {k: jnp.zeros((), jnp.float32) for k in COUNT_KEYS}
+    """A fresh device-side counts dict (all canonical keys, zeroed).
+
+    Each count is a (sum, compensation) float32 pair updated with Neumaier
+    compensated summation in :meth:`Ctx.add`, so device-side accumulation
+    stays exact to ~1 ulp of the TOTAL regardless of the number of adds
+    (a plain f32 scalar drifts ~sqrt(n_adds) ulps — measurable at
+    ViTDet-1024 scale, ~1e12 FLOPs/frame)."""
+    return {k: jnp.zeros((2,), jnp.float32) for k in COUNT_KEYS}
+
+
+def count_value(v):
+    """Host-side float64 value of one device count (pair or legacy scalar)."""
+    import numpy as np
+
+    a = np.asarray(v, dtype=np.float64)
+    return float(a.sum()) if a.ndim else float(a)
 
 
 class Ctx:
@@ -83,9 +97,18 @@ class Ctx:
         self.rng = rng
 
     def add(self, key, value):
-        """Add ``value`` (python number or traced scalar) to count ``key``."""
+        """Add ``value`` (python number or traced scalar) to count ``key``
+        with Neumaier compensated summation (see :func:`zero_counts`)."""
         if self.count_mode:
-            self.counts[key] = self.counts[key] + value
+            pair = self.counts[key]
+            s, c = pair[0], pair[1]
+            v = jnp.asarray(value, jnp.float32)
+            t = s + v
+            # the compensation recovers whichever operand was truncated
+            c = c + jnp.where(
+                jnp.abs(s) >= jnp.abs(v), (s - t) + v, (v - t) + s
+            )
+            self.counts[key] = jnp.stack([t, c])
 
     def replace_counts(self, counts):
         c = Ctx(self.count_mode, dict(counts), self.training, self.rng)
@@ -185,8 +208,8 @@ class Counts(dict):
 
     @classmethod
     def from_device(cls, counts):
-        """Build from a device-side counts dict (traced scalars -> floats)."""
-        return cls({k: float(v) for k, v in counts.items()})
+        """Build from a device-side counts dict ((sum, comp) pairs -> floats)."""
+        return cls({k: count_value(v) for k, v in counts.items()})
 
     def nonzero(self):
         return Counts({k: v for k, v in self.items() if v != 0})

@@ -82,7 +82,9 @@ class BucketedThresholdStep:
         while True:
             step = self._step_for(self._level)
             out, new_state, counts = step(state, *args)
-            saturated = float(counts["policy_saturated"])
+            from eventful_transformer_tpu.core.counting import count_value
+
+            saturated = count_value(counts["policy_saturated"])
             at_top = self._level == len(self.capacities) - 1
             if saturated == 0.0 or at_top:
                 self.frames_per_level[self._level] += 1

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 import eventful_transformer_tpu.core.backbones as backbones
 from eventful_transformer_tpu.core.backbones import ViTBackbone
-from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.core.counting import count_value, Ctx
 from eventful_transformer_tpu.core.gating import TokenGate
 from eventful_transformer_tpu.core.policies import TokenNormTopK
 
@@ -37,7 +37,7 @@ def _run(backbone, params, x, frames=3, k=None):
     for t in range(frames):
         y, state = backbone.apply(ctx, params, state, x + 0.1 * t)
         outs.append(np.asarray(y))
-    return np.stack(outs), {k: float(v) for k, v in ctx.counts.items()}
+    return np.stack(outs), {k: count_value(v) for k, v in ctx.counts.items()}
 
 
 class TestScannedBackbone:

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
-from eventful_transformer_tpu.core.counting import Ctx
+from eventful_transformer_tpu.core.counting import count_value, Ctx
 from eventful_transformer_tpu.core.policies import TokenNormThreshold
 from eventful_transformer_tpu.utils.bucketing import BucketedThresholdStep
 from eventful_transformer_tpu.utils.misc import set_policies
@@ -87,4 +87,4 @@ class TestBucketedThreshold:
         state = blk.init_state(1, N)
         _, state = blk.apply(ctx, params, state, jnp.asarray(frames[0]))
         _, state = blk.apply(ctx, params, state, jnp.asarray(frames[1]))
-        assert float(ctx.counts["policy_saturated"]) > 0
+        assert count_value(ctx.counts["policy_saturated"]) > 0

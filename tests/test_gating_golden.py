@@ -14,7 +14,7 @@ torch = pytest.importorskip("torch")
 from eventful_transformer import modules as ref_modules  # noqa: E402
 from eventful_transformer import policies as ref_policies  # noqa: E402
 
-from eventful_transformer_tpu.core.counting import Counts, Ctx  # noqa: E402
+from eventful_transformer_tpu.core.counting import count_value, Counts, Ctx  # noqa: E402
 from eventful_transformer_tpu.core.gating import (  # noqa: E402
     MatmulBuffer,
     MatmulDeltaAccumulator,
@@ -68,7 +68,7 @@ class TestTokenGate:
                 rs, ridxs = _sorted_rows(rt[0].numpy(), rt[1].numpy())
                 np.testing.assert_array_equal(idxs, ridxs)
                 np.testing.assert_allclose(ys, rs, rtol=1e-5, atol=1e-6)
-                assert float(ctx.counts["gate_flops"]) == B * N * C
+                assert count_value(ctx.counts["gate_flops"]) == B * N * C
         # Reference state p must agree at the end.
         np.testing.assert_allclose(
             np.asarray(state["p"]), ref.p.numpy(), rtol=1e-5, atol=1e-6

@@ -121,3 +121,52 @@ def test_coverage_from_norms_matches_topk(rng):
         want = coverage(idx.astype(jnp.int32), None, N, 3)
         got = coverage_from_norms(norms, k)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want)), (trial, k)
+
+
+def test_count_accumulation_exact_at_vitdet_1024_scale():
+    """Device-side count accumulation (Neumaier pairs, core/counting.py)
+    stays float64-exact through a ViTDet-1024-scale run: 12 blocks x 250
+    frames of ~1e9-1e10 increments accumulating to ~1e13, inside a
+    counting.scan. A plain f32 scalar drifts measurably here."""
+    import jax.numpy as jnp
+
+    from eventful_transformer_tpu.core import counting
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    # per-block increments at the ViTDet-1024 operating point (N=4096, C=768)
+    increments = [
+        2.0 * 4096 * 768 * 2304,  # qkv
+        2.0 * 4096 * 768 * 768,   # projection
+        2.0 * 4096 * 768 * 3072,  # mlp_1
+        2.0 * 4096 * 3072 * 768,  # mlp_2
+        4096.0 * 768,             # gate
+    ]
+    frames = 250
+
+    ctx = Ctx(count_mode=True)
+
+    def body(c, carry, _):
+        for _b in range(12):
+            for v in increments:
+                c.add("linear_flops", v)
+        return carry, jnp.zeros(())
+
+    counting.scan(body, ctx, jnp.zeros(()), None, length=frames)
+    got = Counts.from_device(ctx.counts)["linear_flops"]
+
+    want = 0.0  # float64 reference
+    for _ in range(frames):
+        for _b in range(12):
+            for v in increments:
+                want += float(np.float32(v))  # increments are f32-rounded
+    assert want > 1e13  # the regime where f32 ulp ~ 1e6
+    rel = abs(got - want) / want
+    assert rel < 1e-9, (got, want, rel)
+
+    # and the naive f32 accumulation really does drift (sanity of the test)
+    naive = np.float32(0.0)
+    for _ in range(frames):
+        for _b in range(12):
+            for v in increments:
+                naive = np.float32(naive + np.float32(v))
+    assert abs(float(naive) - want) / want > 1e-9
