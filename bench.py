@@ -25,6 +25,7 @@ frames follow the reference protocol (SURVEY.md §6).
 import argparse
 import json
 import os
+from functools import partial
 
 import numpy as np
 
@@ -167,20 +168,24 @@ def bench_vitdet(args):
             rng.standard_normal((frames_per_call, streams, n, 768)).astype(np.float32)
         ).astype(dtype)
 
-        def fwd(p, state, fr):
+        def fwd(p, state, fr, mode=None):
             aux = model.precompute(p)
 
             def body(carry, x):
-                y, s = model.apply(Ctx(), p, carry, x, aux)
+                y, s = model.apply(Ctx(), p, carry, x, aux, mode=mode)
                 return s, scalar_probe(y)
 
             state, probes = jax.lax.scan(body, state, fr)
             return state, jnp.sum(probes)
 
-        jit_fwd = jax.jit(fwd)
+        # Steady-state scan is statically incremental: no per-block
+        # flush/incremental lax.cond in the hot loop (see Block.apply).
+        jit_fwd = jax.jit(partial(fwd, mode="incremental" if eventful else None))
         state0 = model.init_state(streams, dtype)
         # flush frame once; timing runs steady-state only
-        state, probe = jit_fwd(params, state0, frames[:1])
+        state, probe = jax.jit(partial(fwd, mode="flush" if eventful else None))(
+            params, state0, frames[:1]
+        )
         float(probe)
         return jit_fwd, params, state, frames
 

@@ -143,23 +143,27 @@ class ViTBackbone(Module):
             for b in self.blocks[1:]
         )
 
-    def apply(self, ctx, params, state, x, aux=None):
+    def apply(self, ctx, params, state, x, aux=None, mode=None):
+        """``mode``: static flush/incremental selection for eventful blocks
+        (see Block.apply) — per-video scans split flush-then-scan so the hot
+        loop carries no per-block lax.cond."""
         if aux is None:
             aux = self.precompute(params)
         x = self.position_encoding.apply(
             ctx, params["position_encoding"], x, aux["position_encoding"]
         )
         if "blocks_stacked" in state:
-            return self._apply_scanned(ctx, params, state, x, aux)
+            return self._apply_scanned(ctx, params, state, x, aux, mode)
         new_states = []
         for i, block in enumerate(self.blocks):
             x, s = block.apply(
-                ctx, params["blocks"][i], state["blocks"][i], x, aux["blocks"][i]
+                ctx, params["blocks"][i], state["blocks"][i], x, aux["blocks"][i],
+                mode=mode,
             )
             new_states.append(s)
         return x, {"blocks": new_states}
 
-    def _apply_scanned(self, ctx, params, state, x, aux):
+    def _apply_scanned(self, ctx, params, state, x, aux, mode=None):
         import jax
 
         from eventful_transformer_tpu.core import counting
@@ -174,7 +178,7 @@ class ViTBackbone(Module):
 
         def body(ctx, carry, layer):
             p, s, a = layer
-            y, s = block.apply(ctx, p, s, carry, a)
+            y, s = block.apply(ctx, p, s, carry, a, mode=mode)
             return y, s
 
         x, states = counting.scan(

@@ -175,7 +175,10 @@ class Block(Module):
         except Exception:
             return False
 
-    def apply(self, ctx: Ctx, params, state, x, aux=None):
+    def apply(self, ctx: Ctx, params, state, x, aux=None, mode=None):
+        # ``mode`` (flush/incremental) is meaningful only for stateful
+        # (eventful) blocks; the dense block is frame-independent.
+        del mode
         skip_1 = x
         x = layer_norm(x, params["input_layer_norm"], LN_EPS)
         x = self.qkv.apply(ctx, params["qkv"], x)
@@ -488,7 +491,18 @@ class EventfulTokenwiseBlock(Block):
             )
         return state
 
-    def apply(self, ctx: Ctx, params, state, x, aux=None):
+    def apply(self, ctx: Ctx, params, state, x, aux=None, mode=None):
+        """``mode``: None dispatches on ``state['first']`` via ``lax.cond``;
+        "flush" / "incremental" select the branch STATICALLY. Callers whose
+        frame index determines flush-ness (every per-video scan: frame 0
+        flushes, the rest are incremental) should split flush-then-scan —
+        a cond inside the hot loop makes XLA materialize layout copies of
+        the multi-MB state buffers every block-step (profiled: ~30% of the
+        ViTDet-672 eventful backbone was `copy`/`reshape` ops from this)."""
+        if mode == "flush":
+            return self._apply_flush(ctx, params, state, x, aux)
+        if mode == "incremental":
+            return self._apply_incremental(ctx, params, state, x, aux)
         return counting.cond(
             state["first"], self._apply_flush, self._apply_incremental,
             (params, state, x, aux), ctx,

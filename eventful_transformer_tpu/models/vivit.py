@@ -22,6 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from eventful_transformer_tpu.core import counting
+
+# Flush-then-scan for the per-view frame loop (static flush branch, no
+# per-block lax.cond in the scan). Measured 7% SLOWER than the single
+# cond-dispatched scan at ViViT scale (N=197, B=32: the cond's state copies
+# are cheap there and the split fragments XLA's program) — default off;
+# EVT_SPLIT_FLUSH=1 enables for A/B.
+import os as _os
+
+_SPLIT_FLUSH = _os.environ.get("EVT_SPLIT_FLUSH", "0") == "1"
 from eventful_transformer_tpu.core.backbones import ViTBackbone
 from eventful_transformer_tpu.core.nn import (
     Dropout,
@@ -96,12 +105,14 @@ class ViViTSubModel(Module):
     def precompute(self, params):
         return self.backbone.precompute(params["backbone"])
 
-    def apply(self, ctx, params, state, x, aux=None):
+    def apply(self, ctx, params, state, x, aux=None, mode=None):
         cls = jnp.broadcast_to(
             params["class_token"].astype(x.dtype), (x.shape[0], 1, x.shape[-1])
         )
         x = jnp.concatenate([cls, x], axis=1)
-        x, state = self.backbone.apply(ctx, params["backbone"], state, x, aux)
+        x, state = self.backbone.apply(
+            ctx, params["backbone"], state, x, aux, mode=mode
+        )
         x = layer_norm(x, params["layer_norm"], LN_EPS)
         return x[:, 0], state
 
@@ -280,13 +291,33 @@ class FactorizedViViT(Module):
         state = self.spatial_model.init_state(batch, x.dtype)
         aux = self.spatial_model.precompute(params["spatial_model"])
 
-        def body(ctx, state, frame):
-            y, state = self.spatial_model.apply(
-                ctx, params["spatial_model"], state, frame, aux
+        frames = jnp.moveaxis(x, 1, 0)
+        if _SPLIT_FLUSH:
+            # Flush-then-scan: frame 0 of each view always flushes (state is
+            # fresh, utils/evaluate resets per video), so the branch is
+            # STATIC — no per-block flush/incremental lax.cond in the scan.
+            y0, state = self.spatial_model.apply(
+                ctx, params["spatial_model"], state, frames[0], aux, mode="flush"
             )
-            return state, y
 
-        _, ys = counting.scan(body, ctx, state, jnp.moveaxis(x, 1, 0))
+            def body(ctx, state, frame):
+                y, state = self.spatial_model.apply(
+                    ctx, params["spatial_model"], state, frame, aux,
+                    mode="incremental",
+                )
+                return state, y
+
+            _, ys = counting.scan(body, ctx, state, frames[1:])
+            ys = jnp.concatenate([y0[None], ys], axis=0)
+        else:
+
+            def body(ctx, state, frame):
+                y, state = self.spatial_model.apply(
+                    ctx, params["spatial_model"], state, frame, aux
+                )
+                return state, y
+
+            _, ys = counting.scan(body, ctx, state, frames)
         return jnp.moveaxis(ys, 0, 1)  # (batch, time, dim)
 
     def _forward_temporal(self, ctx, params, x, batch_size):
