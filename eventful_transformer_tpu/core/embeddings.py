@@ -101,6 +101,26 @@ class RelativePositionEmbedding(Module):
             "x_relative": self._get_relative(params["x_embedding"], dim=1),
         }
 
+    # Fused bias+add kernel (ops/pallas/relpos.py): True forces (interpret
+    # mode off-TPU, for tests); False = XLA flat-expander path. Default OFF:
+    # measured 2x SLOWER than the XLA path end-to-end (dense-672 27.5 vs
+    # 14.5 ms/frame) — the per-stripe loop serializes small matmuls where
+    # XLA overlaps the einsum/expander work; kept as a tested option and a
+    # record of the attempt.
+    use_pallas_kernel = False
+
+    def _use_kernel(self):
+        if self.use_pallas_kernel is True:
+            return True
+        if self.use_pallas_kernel != "auto":
+            return False
+        try:
+            import jax
+
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
     def apply(self, ctx, params, x, q, derived=None):
         """Add decomposed relative position terms to attention logits x
         (reference utils.py:139-171). x: (batch, heads, N, Np); q: (batch,
@@ -123,11 +143,23 @@ class RelativePositionEmbedding(Module):
         else:
             p = (a[0] // self.pool_size[0], a[1] // self.pool_size[1])
         dtype = x.dtype
-        q = q.reshape(q.shape[:2] + a + q.shape[-1:])  # (B, H, a0, a1, c)
         c = q.shape[-1]
+        n, np_ = prod(a), prod(p)
+        if self._use_kernel() and x.ndim == 4 and x.shape[-2] == n:
+            import jax
+
+            from eventful_transformer_tpu.ops.pallas.relpos import relpos_bias_add
+
+            # reference-parity counts: two term einsums + two adds
+            ctx.add("einsum_flops", 2 * x.shape[0] * x.shape[1] * n * c * (p[0] + p[1]) / 2)
+            ctx.add("add_flops", 2 * x.size)
+            return relpos_bias_add(
+                x, q, derived["y_relative"], derived["x_relative"], a=a, p=p,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        q = q.reshape(q.shape[:2] + a + q.shape[-1:])  # (B, H, a0, a1, c)
         y_rel = derived["y_relative"].astype(dtype)  # (a0, p0, c)
         x_rel = derived["x_relative"].astype(dtype)  # (a1, p1, c)
-        n, np_ = prod(a), prod(p)
         bsz, heads = x.shape[:2]
         term_y = counted_einsum(ctx, "abhwc,hkc->abhwk", q, y_rel, c)
         term_x = counted_einsum(ctx, "abhwc,wkc->abhwk", q, x_rel, c)

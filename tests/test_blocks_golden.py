@@ -207,6 +207,20 @@ class TestPositionEmbeddingsGolden:
             want = ref(torch.from_numpy(x.copy()), torch.from_numpy(q), inplace=False).numpy()
         got = ours.apply(Ctx(), params, jnp.asarray(x), jnp.asarray(q))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+        # the fused Pallas bias+add kernel (interpret mode on CPU), with
+        # FLOP-count parity against the XLA path
+        from eventful_transformer_tpu.core.counting import Counts
+
+        ctx_a, ctx_b = Ctx(count_mode=True), Ctx(count_mode=True)
+        ours.use_pallas_kernel = False
+        xla = ours.apply(ctx_a, params, jnp.asarray(x), jnp.asarray(q))
+        ours.use_pallas_kernel = True
+        ker = ours.apply(ctx_b, params, jnp.asarray(x), jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(ker), want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(xla), rtol=1e-5, atol=1e-6)
+        ca, cb = Counts.from_device(ctx_a.counts), Counts.from_device(ctx_b.counts)
+        for key in ca:
+            assert cb[key] == pytest.approx(ca[key], rel=1e-6), key
 
 
 class TestThresholdPolicyInBlock:
