@@ -116,20 +116,27 @@ class TokenDeltaGate(TokenGate):
         """Returns (c_tilde, e_tilde, index, mask, state)."""
         ctx.add("gate_flops", c.size)
         p = state["p"]
-        e = c - p
-        index, mask = self._select(e, forced_index, forced_mask, ctx)
+        if forced_index is None:
+            index, mask = self._select(c - p, forced_index, forced_mask, ctx)
+        else:
+            # Forced selection: the error tensor is only consumed at the
+            # forced positions, so gather first and subtract on the small
+            # arrays — materializing the full-size ``c - p`` at ViTDet
+            # attention shapes costs a full (B, H, N, Np) pass + a layout
+            # copy (profiled; docs/PERF_NOTES.md).
+            index, mask = forced_index, forced_mask
         if self.structure == "row":
             c_tilde = take_rows(c, index)
-            e_tilde = take_rows(e, index)
+            e_tilde = c_tilde - take_rows(p, index)
             if mask is not None:
                 e_tilde = mask_rows(e_tilde, mask)
             p = select_rows(p, c, index, mask)
         else:
             c_tilde = take_cols(c, index)
-            e_tilde = take_cols(e, index)
+            e_tilde = c_tilde - take_cols(p, index)
             if mask is not None:
                 e_tilde = mask_cols(e_tilde, mask)
-            p = select_cols(p, c, index, mask)
+            p = put_cols(p, index, c_tilde, mask)
         return c_tilde, e_tilde, index, mask, {"p": p}
 
 

@@ -36,8 +36,47 @@ def take_rows(x, index):
 
 
 def take_cols(x, index):
-    """Gather cols (tokens along axis=-1): x (..., N), index (..., k)."""
+    """Gather cols (tokens along axis=-1): x (..., N), index (..., k).
+
+    TPU layout note: a gather along the MINOR axis of a large array makes
+    XLA relayout the operand (profiled on the ViTDet EventfulBlock path:
+    each col-gather of the (B, H, N, Np) attention matrix induced a
+    transposed-layout ``copy`` of the WHOLE operand, ~145 us at N=1764 —
+    docs/PERF_NOTES.md). On TPU, float col-gathers are therefore expressed
+    as one-hot matmuls: exact row copies on the MXU (one nonzero per
+    output, products 1.0 * value — bit-exact at any dtype), standard
+    layouts, no relayout copies. Duplicate/padding indices are fine (pure
+    gather: each output col copies independently).
+    """
+    if _onehot_gather_eligible(x):
+        return _take_cols_onehot(x, index)
     return jnp.take_along_axis(x, expand_col_index(index, x.ndim), axis=-1)
+
+
+def _onehot_gather_eligible(x):
+    if not jnp.issubdtype(x.dtype, jnp.floating) or x.dtype == jnp.float64:
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _take_cols_onehot(x, index):
+    """take_cols as an exact one-hot MXU matmul (see take_cols)."""
+    n = x.shape[-1]
+    squeeze = x.ndim == index.ndim  # per-row gather of a (..., N) operand
+    if squeeze:
+        x = x[..., None, :]
+    oh = jax.nn.one_hot(index, n, dtype=x.dtype)  # (..., k, n)
+    shape = index.shape[:-1] + (1,) * (x.ndim - index.ndim - 1) + oh.shape[-2:]
+    oh = oh.reshape(shape)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.matmul(
+        x, jnp.swapaxes(oh, -1, -2), preferred_element_type=x.dtype,
+        precision=prec,
+    )
+    return out[..., 0, :] if squeeze else out
 
 
 def _one_hot_rows(index, mask, n, ndim, dtype):
