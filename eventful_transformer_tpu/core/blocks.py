@@ -699,16 +699,41 @@ class EventfulTokenwiseBlock(Block):
 
     # -- v2 whole-group fused kernels (ops/pallas/gate_group.py) ---------------
 
-    @staticmethod
-    def _v2_select(ctx, gate, gate_state, x, ln_params, ln_mode, norms=None,
-                   need_index=False):
+    # In-kernel top-k (gate_group kernels with cov=None): the selection — an
+    # (N, N) rank-comparison + ones-matmul — runs INSIDE the group kernel,
+    # eliminating the separate norms pass and the XLA top_k round trip.
+    # "auto" enables on TPU for mask-free L2 TokenNormTopK selections on the
+    # coverage-only path; True forces; False disables.
+    in_kernel_topk = "auto"
+
+    def _use_in_kernel_topk(self, pol):
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+        if self.in_kernel_topk is False:
+            return False
+        eligible = (
+            type(pol) is TokenNormTopK and not pol.save_status and pol.order == 2
+        )
+        if self.in_kernel_topk is True:
+            return eligible
+        try:
+            import jax
+
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            on_tpu = False
+        return eligible and on_tpu
+
+    def _v2_select(self, ctx, gate, gate_state, x, ln_params, ln_mode, norms=None,
+                   need_index=False, allow_topk=True):
         """Shared v2 front half: error norms -> policy -> coverage.
         ``norms``: precomputed by an upstream fused kernel (v3).
         ``need_index``: the caller consumes the selection indices themselves
         (the eventful-attention blocks); otherwise mask-free top-k policies
         take the cheaper norms->coverage path (no index gather, no one-hot).
         Returns (kcap, index, mask, cov, interpret); index is None on the
-        coverage-only path."""
+        coverage-only path; cov is None when the group kernel should select
+        in-kernel (see in_kernel_topk)."""
         import jax
 
         from eventful_transformer_tpu.core.indexing import coverage, coverage_from_norms
@@ -717,6 +742,15 @@ class EventfulTokenwiseBlock(Block):
 
         interpret = jax.devices()[0].platform == "cpu"
         p = gate_state["p"]
+        pol0 = gate.policy
+        if (
+            allow_topk
+            and norms is None
+            and not need_index
+            and self._use_in_kernel_topk(pol0)
+        ):
+            ctx.add("gate_flops", x.size)
+            return pol0.capacity(x.shape[-2]), None, None, None, interpret
         ctx.add("gate_flops", x.size)
         if norms is not None:
             pass
@@ -856,7 +890,8 @@ class EventfulTokenwiseBlock(Block):
 
             gate_state = state["projection_gate"]
             kcap, index, mask, cov, interpret = self._v2_select(
-                ctx, self.projection_gate, gate_state, x, None, "none"
+                ctx, self.projection_gate, gate_state, x, None, "none",
+                allow_topk=False,
             )
             ln2 = params["mlp_layer_norm"]
             p_new, x, mlp_norms = select_linear_skip_norms(

@@ -96,10 +96,72 @@ class RelativePositionEmbedding(Module):
         return relative
 
     def precompute(self, params):
-        return {
+        derived = {
             "y_relative": self._get_relative(params["y_embedding"], dim=0),
             "x_relative": self._get_relative(params["x_embedding"], dim=1),
         }
+        if self._use_flat_matmul():
+            derived.update(self._precompute_flat(derived))
+        return derived
+
+    def _pooled_size(self):
+        a = self.attention_size
+        if self.pool_size is None:
+            return a
+        return (a[0] // self.pool_size[0], a[1] // self.pool_size[1])
+
+    def _precompute_flat(self, derived):
+        """Static operands for the flat-matmul bias path (see apply).
+
+        ``y_flat``/``x_flat``: the per-axis tables flattened to c-minor
+        (a·p, c) matrices. ``y_extract``/``x_extract``: 0/1 matrices that
+        extract the block-diagonal entries of q @ flatᵀ and expand them to
+        the flat key axis in one matmul."""
+        a = self.attention_size
+        p = self._pooled_size()
+        n = jnp.arange(prod(a))
+        y_rel = derived["y_relative"]  # (a0, p0, c)
+        x_rel = derived["x_relative"]  # (a1, p1, c)
+        j_y = jnp.arange(a[0] * p[0])
+        j_x = jnp.arange(a[1] * p[1])
+        #   term_y[n, k0] = (q @ y_flatᵀ)[n, (y(n), k0)]
+        # = Σ_j ((q @ y_flatᵀ) ⊙ mask_y)[n, j] · K_y[j, k0]
+        # with mask_y[n, j] = (n // a1 == j // p0) and
+        #      K_y[j, k0]   = (j % p0 == k0):
+        # exactly ONE nonzero j = (y(n), k0) survives per output element, so
+        # the collapse matmul is an exact row copy at any dtype.
+        return {
+            "y_flat": y_rel.reshape(-1, y_rel.shape[-1]),
+            "x_flat": x_rel.reshape(-1, x_rel.shape[-1]),
+            "y_mask": (n[:, None] // a[1] == j_y[None, :] // p[0]),
+            "x_mask": (n[:, None] % a[1] == j_x[None, :] // p[1]),
+            "y_collapse": (j_y[:, None] % p[0] == jnp.arange(p[0])[None, :]),
+            "x_collapse": (j_x[:, None] % p[1] == jnp.arange(p[1])[None, :]),
+        }
+
+    def _flat_terms(self, ctx, q, derived, a, p, dtype):
+        """The per-axis bias terms without 5/6-D views (see _precompute_flat;
+        motivation in the TPU layout note below): one dense q @ tableᵀ
+        product per axis + an exact static masked-collapse matmul. Count
+        parity: the reference path's two einsums (out.size * c each)."""
+        import jax
+
+        c = q.shape[-1]
+        prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+        terms = []
+        for axis in ("y", "x"):
+            flat = derived[f"{axis}_flat"].astype(dtype)  # (a*p, c)
+            full = jnp.matmul(q, flat.T, preferred_element_type=dtype)
+            masked = full * derived[f"{axis}_mask"].astype(dtype)
+            term = jnp.matmul(
+                masked,
+                derived[f"{axis}_collapse"].astype(dtype),
+                preferred_element_type=dtype,
+                precision=prec,
+            )
+            terms.append(term)
+            ctx.add("einsum_flops", term.size * c)
+        return terms
 
     # Fused bias+add kernel (ops/pallas/relpos.py): True forces (interpret
     # mode off-TPU, for tests); False = XLA flat-expander path. Default OFF:
@@ -113,6 +175,22 @@ class RelativePositionEmbedding(Module):
         if self.use_pallas_kernel is True:
             return True
         if self.use_pallas_kernel != "auto":
+            return False
+        try:
+            import jax
+
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
+    # Flat-matmul bias path (see apply): "auto" enables on TPU; True forces
+    # (for parity tests off-TPU); False always uses the einsum path.
+    use_flat_matmul = "auto"
+
+    def _use_flat_matmul(self):
+        if self.use_flat_matmul is True:
+            return True
+        if self.use_flat_matmul != "auto":
             return False
         try:
             import jax
@@ -157,14 +235,17 @@ class RelativePositionEmbedding(Module):
                 x, q, derived["y_relative"], derived["x_relative"], a=a, p=p,
                 interpret=jax.devices()[0].platform == "cpu",
             )
-        q = q.reshape(q.shape[:2] + a + q.shape[-1:])  # (B, H, a0, a1, c)
-        y_rel = derived["y_relative"].astype(dtype)  # (a0, p0, c)
-        x_rel = derived["x_relative"].astype(dtype)  # (a1, p1, c)
         bsz, heads = x.shape[:2]
-        term_y = counted_einsum(ctx, "abhwc,hkc->abhwk", q, y_rel, c)
-        term_x = counted_einsum(ctx, "abhwc,wkc->abhwk", q, x_rel, c)
-        term_y = term_y.reshape(bsz, heads, n, p[0])
-        term_x = term_x.reshape(bsz, heads, n, p[1])
+        if self._use_flat_matmul() and "y_flat" in (derived or {}):
+            term_y, term_x = self._flat_terms(ctx, q, derived, a, p, dtype)
+        else:
+            q = q.reshape(q.shape[:2] + a + q.shape[-1:])  # (B, H, a0, a1, c)
+            y_rel = derived["y_relative"].astype(dtype)  # (a0, p0, c)
+            x_rel = derived["x_relative"].astype(dtype)  # (a1, p1, c)
+            term_y = counted_einsum(ctx, "abhwc,hkc->abhwk", q, y_rel, c)
+            term_x = counted_einsum(ctx, "abhwc,wkc->abhwk", q, x_rel, c)
+            term_y = term_y.reshape(bsz, heads, n, p[0])
+            term_x = term_x.reshape(bsz, heads, n, p[1])
         k_idx = jnp.arange(np_)
         e_y = (k_idx[None, :] // p[1] == jnp.arange(p[0])[:, None]).astype(dtype)
         e_x = (k_idx[None, :] % p[1] == jnp.arange(p[1])[:, None]).astype(dtype)

@@ -51,15 +51,25 @@ def _trace_and_parse(run, iters=2):
         and re.search(r"TPU|/device:|XLA", str(e.get("args", {}).get("name", "")))
     }
     per_op = collections.defaultdict(lambda: [0.0, 0])
+    per_src = collections.defaultdict(lambda: [0.0, 0])
     for e in trace["traceEvents"]:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         name = e.get("name", "")
         per_op[name][0] += e.get("dur", 0.0)
         per_op[name][1] += 1
+        args = e.get("args", {})
+        src = args.get("source_info") or args.get("source") or ""
+        if src:
+            key = f"{_category(name)} @ {src}"
+            per_src[key][0] += e.get("dur", 0.0)
+            per_src[key][1] += 1
+    by_src = sorted(
+        ((k, v[0], v[1]) for k, v in per_src.items()), key=lambda t: -t[1]
+    )
     return sorted(
         ((k, v[0], v[1]) for k, v in per_op.items()), key=lambda t: -t[1]
-    )
+    ), by_src
 
 
 def _category(name):
@@ -166,7 +176,7 @@ def main():
         )
         run = lambda: np.asarray(step(params, views)[0][..., :1]).sum()
 
-    rows = _trace_and_parse(run)
+    rows, by_src = _trace_and_parse(run)
     total = sum(r[1] for r in rows)
     print(f"total device self-time: {total/1e3:.2f} ms over traced calls")
     print(f"{'us':>10}  {'n':>6}  op")
@@ -182,6 +192,10 @@ def main():
     print("\nby category:")
     for cat, dur in sorted(cats.items(), key=lambda t: -t[1])[:15]:
         print(f"{dur:10.0f}  {100*dur/max(total,1):5.1f}%  {cat}")
+    if by_src:
+        print("\nby category @ source:")
+        for key, dur, cnt in by_src[: args.top]:
+            print(f"{dur:10.0f}  {cnt:6d}  {key[:140]}")
 
 
 if __name__ == "__main__":

@@ -221,6 +221,47 @@ class TestPositionEmbeddingsGolden:
         ca, cb = Counts.from_device(ctx_a.counts), Counts.from_device(ctx_b.counts)
         for key in ca:
             assert cb[key] == pytest.approx(ca[key], rel=1e-6), key
+        # the flat-matmul bias path (the TPU layout fix: dense q @ tableᵀ +
+        # exact masked-collapse matmuls, no 5-D views), with count parity
+        ours.use_pallas_kernel = False
+        ours.use_flat_matmul = True
+        ctx_c = Ctx(count_mode=True)
+        flat = ours.apply(ctx_c, params, jnp.asarray(x), jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(flat), want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(flat), np.asarray(xla), rtol=1e-5, atol=1e-6
+        )
+        cc = Counts.from_device(ctx_c.counts)
+        for key in ca:
+            assert cc[key] == pytest.approx(ca[key], rel=1e-6), key
+
+    def test_relative_position_flat_matmul_unpooled(self, rng):
+        """Flat-matmul path == einsum path, unpooled, non-square grid."""
+        from eventful_transformer_tpu.core.embeddings import RelativePositionEmbedding
+
+        head_dim = 16
+        att = (4, 6)
+        ours = RelativePositionEmbedding(att, att, head_dim)
+        params = {
+            "y_embedding": jnp.asarray(
+                rng.standard_normal((2 * att[0] - 1, head_dim)).astype(np.float32)
+            ),
+            "x_embedding": jnp.asarray(
+                rng.standard_normal((2 * att[1] - 1, head_dim)).astype(np.float32)
+            ),
+        }
+        n = att[0] * att[1]
+        x = jnp.asarray(rng.standard_normal((2, 3, n, n)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((2, 3, n, head_dim)).astype(np.float32))
+        ours.use_flat_matmul = False
+        want = ours.apply(Ctx(), params, x, q)
+        ours.use_flat_matmul = True
+        got = ours.apply(Ctx(), params, x, q)
+        # the q·table dot accumulates in a different order than the einsum
+        # path -> f32 ulp-level differences
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
 
 
 class TestThresholdPolicyInBlock:
@@ -252,14 +293,21 @@ class TestThresholdPolicyInBlock:
 
 
 class TestFusedGateGroup:
-    @pytest.mark.parametrize("fused_mode", ["v1", "v2", "v2mlp", "v3"])
+    @pytest.mark.parametrize(
+        "fused_mode", ["v1", "v2", "v2mlp", "v3", "v2-topk", "v2mlp-topk"]
+    )
     def test_fused_matches_reference(self, rng, fused_mode):
         """The Pallas fused gate paths (interpret mode on CPU) are
-        golden-exact incl. FLOP-count parity, both LN placements."""
+        golden-exact incl. FLOP-count parity, both LN placements.
+        The -topk variants run the selection INSIDE the group kernels
+        (cov=None; blocks.py::in_kernel_topk)."""
+        in_kernel = fused_mode.endswith("-topk")
+        fused_mode = fused_mode.removesuffix("-topk")
         for kwargs in (dict(input_size=(4, 6)), dict(input_size=(4, 6), gate_before_ln=True)):
             ref_block = _seed_torch_block(REF.blocks.EventfulTokenwiseBlock, **kwargs)
             ours = EventfulTokenwiseBlock(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
             ours.fused_gates = fused_mode  # force; CPU -> interpret mode
+            ours.in_kernel_topk = in_kernel
             params = torch_block_params(ref_block)
             _set_ref_policies(ref_block, 8)
             _set_our_policies(ours, 8)
