@@ -175,7 +175,9 @@ def bench_vitdet(args):
                 y, s = model.apply(Ctx(), p, carry, x, aux, mode=mode)
                 return s, scalar_probe(y)
 
-            state, probes = jax.lax.scan(body, state, fr)
+            # unroll > 1 trades compile time for fewer while-loop back-edge
+            # copies of the eventful state (profiled ~1.9 ms/frame at 672)
+            state, probes = jax.lax.scan(body, state, fr, unroll=args.unroll)
             return state, jnp.sum(probes)
 
         # Steady-state scan is statically incremental: no per-block
@@ -234,6 +236,8 @@ def main():
         "--dtype", default="bfloat16", choices=[None, "bfloat16", "float32"],
         help="compute dtype applied to BOTH models (bf16 is TPU-native serving precision)",
     )
+    parser.add_argument("--unroll", type=int, default=1,
+        help="frame-scan unroll factor for the vitdet workload")
     parser.add_argument("--fused", default=None,
         help="force gate-fusion mode on eventful blocks: v2mlp/v2/v1/False")
     parser.add_argument(

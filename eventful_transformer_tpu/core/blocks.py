@@ -702,11 +702,15 @@ class EventfulTokenwiseBlock(Block):
     # In-kernel top-k (gate_group kernels with cov=None): the selection — an
     # (N, N) rank-comparison + ones-matmul — runs INSIDE the group kernel,
     # eliminating the separate norms pass and the XLA top_k round trip.
-    # "auto" enables on TPU for mask-free L2 TokenNormTopK selections on the
-    # coverage-only path; True forces; False disables.
-    in_kernel_topk = "auto"
+    # Default OFF after measurement (docs/PERF_NOTES.md): at ViViT N=197 the
+    # in-kernel selection HALVED eventful throughput (the rank compare runs
+    # serially per grid instance while batched lax.top_k costs only ~20 us),
+    # and at ViTDet N=1764 the (N, N) comparison hung the remote Mosaic
+    # compile. Kept as a tested option (True forces; golden -topk tests).
+    in_kernel_topk = False
+    TOPK_MAX_TOKENS = 512
 
-    def _use_in_kernel_topk(self, pol):
+    def _use_in_kernel_topk(self, pol, n_tokens):
         from eventful_transformer_tpu.core.policies import TokenNormTopK
 
         if self.in_kernel_topk is False:
@@ -722,7 +726,7 @@ class EventfulTokenwiseBlock(Block):
             on_tpu = jax.devices()[0].platform not in ("cpu",)
         except Exception:
             on_tpu = False
-        return eligible and on_tpu
+        return eligible and on_tpu and n_tokens <= self.TOPK_MAX_TOKENS
 
     def _v2_select(self, ctx, gate, gate_state, x, ln_params, ln_mode, norms=None,
                    need_index=False, allow_topk=True):
@@ -747,7 +751,7 @@ class EventfulTokenwiseBlock(Block):
             allow_topk
             and norms is None
             and not need_index
-            and self._use_in_kernel_topk(pol0)
+            and self._use_in_kernel_topk(pol0, x.shape[-2])
         ):
             ctx.add("gate_flops", x.size)
             return pol0.capacity(x.shape[-2]), None, None, None, interpret

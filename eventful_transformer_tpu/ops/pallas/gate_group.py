@@ -92,10 +92,12 @@ def _compaction_onehot(cov_row, kcap, dtype):
     n = cov_row.shape[-1]
     covb = cov_row > 0  # (1, N)
     # Prefix sum via an inclusive lower-triangular matmul (Mosaic has no
-    # cumsum lowering): cs[i] = #selected among positions <= i.
+    # cumsum lowering): cs[i] = #selected among positions <= i. The iotas
+    # broadcast from (N, 1)/(1, N) vectors — materializing (N, N) i32
+    # iotas costs 2 x 4 N^2 bytes of VMEM (25 MB at ViTDet N=1764).
     tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     ).astype(jnp.float32)
     cs = jax.lax.dot_general(
         covb.astype(jnp.float32), tri,
@@ -133,8 +135,8 @@ def _topk_cov(new, p_row, kcap):
     n = norms.shape[0]
     col = norms  # (N, 1): token i (broadcast over rows j)
     row = norms.reshape(1, n)  # (1, N): token j
-    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    idx_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     ahead = (row > col) | ((row == col) & (idx_j < idx_i))  # j ahead of i
     # rank_i = #ahead: ones-matmul row-count (exact: 0/1 values, f32 acc).
     rank = jax.lax.dot_general(
