@@ -175,9 +175,11 @@ def bench_vitdet(args):
                 y, s = model.apply(Ctx(), p, carry, x, aux, mode=mode)
                 return s, scalar_probe(y)
 
-            # unroll > 1 trades compile time for fewer while-loop back-edge
-            # copies of the eventful state (profiled ~1.9 ms/frame at 672)
-            state, probes = jax.lax.scan(body, state, fr, unroll=args.unroll)
+            # unroll trades compile time for fewer while-loop back-edge
+            # copies of the eventful state (profiled ~1.9 ms/frame at 672;
+            # full unroll: eventful 13.9 -> 12.5 ms/frame)
+            unroll = args.unroll if args.unroll > 0 else fr.shape[0]
+            state, probes = jax.lax.scan(body, state, fr, unroll=unroll)
             return state, jnp.sum(probes)
 
         # Steady-state scan is statically incremental: no per-block
@@ -236,8 +238,13 @@ def main():
         "--dtype", default="bfloat16", choices=[None, "bfloat16", "float32"],
         help="compute dtype applied to BOTH models (bf16 is TPU-native serving precision)",
     )
-    parser.add_argument("--unroll", type=int, default=1,
-        help="frame-scan unroll factor for the vitdet workload")
+    parser.add_argument("--vivit-unroll", type=int, default=1,
+        help="frame-scan unroll for the vivit models (compile time grows "
+        "with unroll x the already-unrolled eventful block stack)")
+    parser.add_argument("--unroll", type=int, default=0,
+        help="frame-scan unroll factor for the vitdet workload; 0 = full "
+        "unroll (measured: while-loop back-edge copies of the eventful "
+        "state cost ~1.5 ms/frame at 672, docs/PERF_NOTES.md)")
     parser.add_argument("--fused", default=None,
         help="force gate-fusion mode on eventful blocks: v2mlp/v2/v1/False")
     parser.add_argument(
@@ -270,11 +277,13 @@ def main():
     )
 
     dense = build_model(False, k, args.views, args.frames, args.size)
+    dense.frame_scan_unroll = args.vivit_unroll
     dense_t = time_model(dense, views, args.iters, dtype=args.dtype)
     eventful = build_model(
         True, k, args.views, args.frames, args.size, block_class=args.block,
         fused=args.fused,
     )
+    eventful.frame_scan_unroll = args.vivit_unroll
     eventful_t = time_model(eventful, views, args.iters, dtype=args.dtype)
 
     clips_per_sec = args.clips / eventful_t

@@ -145,11 +145,15 @@ def cond(pred, true_fn, false_fn, operands, ctx):
     return out
 
 
-def scan(body, ctx, init_carry, xs, length=None):
+def scan(body, ctx, init_carry, xs, length=None, unroll=1):
     """``lax.scan`` that threads ``ctx.counts`` (and a per-step rng fold).
 
     ``body(ctx, carry, x) -> (carry, y)``. This is how the per-frame hot loop
     (models/vivit.py:147 in the reference) becomes a single compiled scan.
+
+    ``unroll`` (int, or True for full unroll) trades compile time for fewer
+    while-loop back-edge copies of the carried eventful state — profiled at
+    ~1.9 ms/frame on the ViTDet-672 path (docs/PERF_NOTES.md).
     """
 
     def f(carry, x):
@@ -161,7 +165,8 @@ def scan(body, ctx, init_carry, xs, length=None):
         return (step + 1, c.counts, inner2), y
 
     (_, counts, carry), ys = jax.lax.scan(
-        f, (jnp.int32(0), ctx.counts, init_carry), xs, length=length
+        f, (jnp.int32(0), ctx.counts, init_carry), xs, length=length,
+        unroll=unroll,
     )
     ctx.counts = counts
     return carry, ys

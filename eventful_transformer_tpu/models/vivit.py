@@ -236,6 +236,12 @@ class FactorizedViViT(Module):
         self.dropout = Dropout(dropout_rate)
         self.classifier = Linear(dim, classes)
 
+    # Frame-scan unroll factor (int, or True for full unroll): fewer
+    # while-loop back-edge copies of the eventful state per frame at the
+    # cost of compile time (see counting.scan). Default 1 — the copies are
+    # moderate at ViViT scale; benchmarks override per measurement.
+    frame_scan_unroll = 1
+
     # -- parameters -----------------------------------------------------------
 
     def init(self, key):
@@ -292,6 +298,7 @@ class FactorizedViViT(Module):
         aux = self.spatial_model.precompute(params["spatial_model"])
 
         frames = jnp.moveaxis(x, 1, 0)
+        unroll = self.frame_scan_unroll
         if _SPLIT_FLUSH:
             # Flush-then-scan: frame 0 of each view always flushes (state is
             # fresh, utils/evaluate resets per video), so the branch is
@@ -307,7 +314,7 @@ class FactorizedViViT(Module):
                 )
                 return state, y
 
-            _, ys = counting.scan(body, ctx, state, frames[1:])
+            _, ys = counting.scan(body, ctx, state, frames[1:], unroll=unroll)
             ys = jnp.concatenate([y0[None], ys], axis=0)
         else:
 
@@ -317,7 +324,7 @@ class FactorizedViViT(Module):
                 )
                 return state, y
 
-            _, ys = counting.scan(body, ctx, state, frames)
+            _, ys = counting.scan(body, ctx, state, frames, unroll=unroll)
         return jnp.moveaxis(ys, 0, 1)  # (batch, time, dim)
 
     def _forward_temporal(self, ctx, params, x, batch_size):
