@@ -182,6 +182,18 @@ class MatmulBuffer:
     Steady-state cost is O(N·k·d) instead of O(N²·d): recompute the updated
     rows (q_tilde @ k) and the updated cols (q @ k_tilde) and scatter them
     into the cached product.
+
+    TPU-first (exact): the cached product is pure memoization — every entry
+    was last written as q_i·k_j with both vectors at their CURRENT buffer
+    values (rows update when q_i changes, cols when k_j changes, and both
+    always write current values), so ``product == q @ k`` identically at
+    every step. :meth:`incremental_recompute` exploits this: one dense
+    matmul (N·d·Np FLOPs) replaces the cached state, its carry traffic and
+    the two one-hot scatter matmuls (N·k·Np FLOPs each — MORE expensive
+    than the recompute whenever head_dim d < capacity k, as at every
+    reference operating point). Reported FLOP counts keep the reference's
+    incremental row/col semantics via valid_frac (same convention as the
+    token-buffer recompute, core/blocks.py).
     """
 
     def init_state(self, shape, dtype=jnp.float32):
@@ -200,6 +212,19 @@ class MatmulBuffer:
         cols = counted_matmul(ctx, q, k_tilde, valid_frac=valid_fraction(mask_k))
         product = put_cols(product, index_k, cols, mask_k)
         return product, {"product": product}
+
+    def incremental_recompute(self, ctx: Ctx, q, k, index_q, index_k,
+                              mask_q=None, mask_k=None):
+        """Stateless equivalent of :meth:`incremental` (see class docstring).
+        Counts mirror the reference's two incremental matmuls exactly."""
+        product = jnp.matmul(q, k, preferred_element_type=q.dtype)
+        d = q.shape[-1]
+        batch = product.size // (product.shape[-2] * product.shape[-1])
+        rows_out = batch * index_q.shape[-1] * product.shape[-1]
+        cols_out = batch * product.shape[-2] * index_k.shape[-1]
+        ctx.add("matmul_flops", valid_fraction(mask_q) * float(rows_out * d))
+        ctx.add("matmul_flops", valid_fraction(mask_k) * float(cols_out * d))
+        return product
 
 
 class MatmulDeltaAccumulator:

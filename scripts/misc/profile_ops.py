@@ -135,7 +135,8 @@ def main():
                 y, s = model.apply(Ctx(), p, carry, x, aux, mode=mode)
                 return s, scalar_probe(y)
 
-            state, probes = jax.lax.scan(body, state, fr)
+            # full unroll to match the bench configuration
+            state, probes = jax.lax.scan(body, state, fr, unroll=fr.shape[0])
             return state, jnp.sum(probes)
 
         jit_fwd = jax.jit(

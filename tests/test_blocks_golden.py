@@ -146,6 +146,48 @@ class TestEventfulBlocksGolden:
             for key, val in ref_counts.items():
                 assert our_counts[key] == pytest.approx(val, rel=1e-6), key
 
+    @pytest.mark.parametrize(
+        "cls_name,kwargs",
+        [
+            ("EventfulMatmul1Block", dict(input_size=(4, 6))),
+            ("EventfulBlock", dict(input_size=(8, 8), pool_size=2)),
+        ],
+    )
+    def test_recompute_product_matches_buffered(self, rng, cls_name, kwargs):
+        """recompute_product=True (stateless q·kT, the TPU default) is
+        bit-identical to the reference's cached+scatter formulation,
+        including FLOP counts."""
+        our_cls = {
+            "EventfulMatmul1Block": EventfulMatmul1Block,
+            "EventfulBlock": EventfulBlock,
+        }[cls_name]
+        n = kwargs["input_size"][0] * kwargs["input_size"][1]
+        import jax.random
+
+        base = rng.standard_normal((2, n, DIM)).astype(np.float32)
+        frames = [
+            base + 0.1 * t * rng.standard_normal((2, n, DIM)).astype(np.float32)
+            for t in range(4)
+        ]
+        outs, counts = [], []
+        for recompute in (True, False):
+            blk = our_cls(dim=DIM, heads=HEADS, mlp_ratio=MLP, **kwargs)
+            blk.recompute_product = recompute
+            _set_our_policies(blk, 8)
+            params = blk.init(jax.random.PRNGKey(0))
+            state = blk.init_state(2, n)
+            ctx = Ctx(count_mode=True)
+            ys = []
+            for x in frames:
+                y, state = blk.apply(ctx, params, state, jnp.asarray(x))
+                ys.append(np.asarray(y))
+            outs.append(ys)
+            counts.append(Counts.from_device(ctx.counts).nonzero())
+        for t, (a, b) in enumerate(zip(*outs)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {t}")
+        for key in set(counts[0]) | set(counts[1]):
+            assert counts[0][key] == pytest.approx(counts[1][key], rel=1e-6), key
+
     def test_full_budget_matches_dense(self, rng):
         """Eventful blocks at full token budget degrade to the dense
         computation (the reference's correctness-by-construction property,
