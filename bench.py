@@ -147,7 +147,7 @@ def bench_vitdet(args):
     from eventful_transformer_tpu.core.policies import TokenNormTopK
     from eventful_transformer_tpu.utils.timing import scalar_probe
 
-    size, streams, frames_per_call, k = 672, 2, 16, 256
+    size, streams, frames_per_call, k = args.vitdet_size, 2, 16, 256
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     n = (size // 16) ** 2
@@ -209,7 +209,7 @@ def bench_vitdet(args):
     d_t = float(np.median(d_times)) / frames_per_call
     e_t = float(np.median(e_times)) / frames_per_call
     return {
-        "metric": "vitdet_b_672_backbone_eventful_fps_1chip",
+        "metric": f"vitdet_b_{size}_backbone_eventful_fps_1chip",
         "value": round(streams / e_t, 4),
         "unit": "frames/s",
         "vs_baseline": round(d_t / e_t, 4),
@@ -238,6 +238,9 @@ def main():
         "--dtype", default="bfloat16", choices=[None, "bfloat16", "float32"],
         help="compute dtype applied to BOTH models (bf16 is TPU-native serving precision)",
     )
+    parser.add_argument("--vitdet-size", type=int, default=672,
+        help="vitdet input size (672 or 1024; metric name stays 672-based "
+        "only for the default)")
     parser.add_argument("--vivit-unroll", type=int, default=1,
         help="frame-scan unroll for the vivit models (compile time grows "
         "with unroll x the already-unrolled eventful block stack)")
