@@ -183,14 +183,25 @@ class RelativePositionEmbedding(Module):
         except Exception:
             return False
 
-    # Flat-matmul bias path (see apply): "auto" enables on TPU; True forces
-    # (for parity tests off-TPU); False always uses the einsum path.
+    # Flat-matmul bias path (see apply): "auto" enables on TPU for small
+    # per-axis tables; True forces (for parity tests off-TPU); False always
+    # uses the einsum path.
     use_flat_matmul = "auto"
+    # Per-shape dispatch, measured (docs/PERF_NOTES.md): the flat path wins
+    # where the einsum's 5-D minor dims are badly tile-padded — windows
+    # (14x14) and the pooled 672 global case (a*p = 42*21=882) — and LOSES
+    # where they are mild and its dense q @ tableT FLOPs dominate
+    # (1024 global: a*p = 64*32=2048, dense 45.9 -> 53.9 ms/frame).
+    FLAT_MAX_TABLE = 1024
 
     def _use_flat_matmul(self):
         if self.use_flat_matmul is True:
             return True
         if self.use_flat_matmul != "auto":
+            return False
+        a = self.attention_size
+        p = self._pooled_size()
+        if max(a[0] * p[0], a[1] * p[1]) > self.FLAT_MAX_TABLE:
             return False
         try:
             import jax
