@@ -147,7 +147,7 @@ def bench_vitdet(args):
     from eventful_transformer_tpu.core.policies import TokenNormTopK
     from eventful_transformer_tpu.utils.timing import scalar_probe
 
-    size, streams, frames_per_call, k = args.vitdet_size, 2, 16, 256
+    size, streams, frames_per_call, k = args.size_override, 2, 16, 256
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     n = (size // 16) ** 2
@@ -238,9 +238,8 @@ def main():
         "--dtype", default="bfloat16", choices=[None, "bfloat16", "float32"],
         help="compute dtype applied to BOTH models (bf16 is TPU-native serving precision)",
     )
-    parser.add_argument("--vitdet-size", type=int, default=672,
-        help="vitdet input size (672 or 1024; metric name stays 672-based "
-        "only for the default)")
+    parser.add_argument("--vitdet-size", type=int, default=0,
+        help="vitdet input size (672 or 1024); 0 = run both")
     parser.add_argument("--vivit-unroll", type=int, default=1,
         help="frame-scan unroll for the vivit models (compile time grows "
         "with unroll x the already-unrolled eventful block stack)")
@@ -265,7 +264,10 @@ def main():
     args = parser.parse_args()
 
     if args.workload in ("all", "vitdet"):
-        print(json.dumps(bench_vitdet(args)))
+        sizes = (672, 1024) if args.vitdet_size == 0 else (args.vitdet_size,)
+        for size in sizes:
+            args.size_override = size
+            print(json.dumps(bench_vitdet(args)), flush=True)
         if args.workload == "vitdet":
             return
 

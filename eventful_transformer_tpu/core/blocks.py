@@ -301,8 +301,25 @@ class Block(Module):
         w = self.input_size if self.window_size is None else self.window_size
         b, h, _, c = x.shape
         ph, pw = self.pool_size
+        if self._pool_by_matmul():
+            # Average pooling as one matmul with a static 0/mean-weight
+            # matrix: the 6-D reshape+mean view has minor dims of w/p
+            # (badly tile-padded — profiled ~160 us/block at ViTDet-672);
+            # the matmul runs in the standard (N, C) layout. Exact for
+            # power-of-two pools (1/(ph*pw) and the f32-accumulated sums
+            # round identically to the mean).
+            return jnp.matmul(
+                _pool_matrix(w, (ph, pw), x.dtype), x,
+                preferred_element_type=x.dtype,
+            )
         y = x.reshape(-1, w[0] // ph, ph, w[1] // pw, pw, c).mean(axis=(2, 4))
         return y.reshape(b, h, -1, c)
+
+    def _pool_by_matmul(self):
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
 
     # -- ATS ------------------------------------------------------------------
 
@@ -354,7 +371,19 @@ class Block(Module):
         return x.astype(old_dtype)
 
 
-def _stabilize_ats_indices(last, new):
+def _pool_matrix(size, pool, dtype):
+    """(N/p, N) average-pool matrix: row (py, px) holds 1/(ph*pw) at the
+    ph*pw grid positions of its window, 0 elsewhere (see _pool_tokens)."""
+    h, w = size
+    ph, pw = pool
+    n_out = (h // ph) * (w // pw)
+    n_in = h * w
+    out_idx = jnp.arange(n_out)
+    in_idx = jnp.arange(n_in)
+    oy, ox = out_idx // (w // pw), out_idx % (w // pw)
+    iy, ix = in_idx // w, in_idx % w
+    hit = (iy[None, :] // ph == oy[:, None]) & (ix[None, :] // pw == ox[:, None])
+    return hit.astype(dtype) / (ph * pw)
     """Vectorized equivalent of the reference's stabilization loop
     (blocks.py:378-391): keep old indices that are still selected; fill the
     vacated slots with the newly-selected indices, in order."""

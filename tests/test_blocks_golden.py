@@ -277,6 +277,19 @@ class TestPositionEmbeddingsGolden:
         for key in ca:
             assert cc[key] == pytest.approx(ca[key], rel=1e-6), key
 
+    def test_pool_matrix_matches_reshape_mean(self, rng):
+        """Matmul pooling (the TPU layout fix) == 6-D reshape+mean."""
+        from eventful_transformer_tpu.core.blocks import Block, _pool_matrix
+
+        blk = Block(dim=DIM, heads=HEADS, mlp_ratio=MLP, input_size=(6, 4),
+                    pool_size=2)
+        x = jnp.asarray(rng.standard_normal((2, 3, 24, 16)).astype(np.float32))
+        want = blk._pool_tokens(x)  # CPU -> reshape+mean path
+        got = jnp.matmul(_pool_matrix((6, 4), (2, 2), x.dtype), x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7
+        )
+
     def test_relative_position_flat_matmul_unpooled(self, rng):
         """Flat-matmul path == einsum path, unpooled, non-square grid."""
         from eventful_transformer_tpu.core.embeddings import RelativePositionEmbedding
