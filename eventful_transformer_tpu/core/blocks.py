@@ -384,6 +384,9 @@ def _pool_matrix(size, pool, dtype):
     iy, ix = in_idx // w, in_idx % w
     hit = (iy[None, :] // ph == oy[:, None]) & (ix[None, :] // pw == ox[:, None])
     return hit.astype(dtype) / (ph * pw)
+
+
+def _stabilize_ats_indices(last, new):
     """Vectorized equivalent of the reference's stabilization loop
     (blocks.py:378-391): keep old indices that are still selected; fill the
     vacated slots with the newly-selected indices, in order."""
