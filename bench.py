@@ -231,7 +231,7 @@ def main():
     parser.add_argument("--views", type=int, default=4)
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--size", type=int, default=224)
-    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--budget", type=float, default=0.5)
     parser.add_argument("--clips", type=int, default=8)
     parser.add_argument(
