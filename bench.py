@@ -85,9 +85,8 @@ def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
     return model
 
 
-def time_model(model, views, iters, warmup=2, dtype=None):
+def _model_step(model, views, dtype=None):
     from eventful_transformer_tpu.core.counting import Ctx
-    from eventful_transformer_tpu.utils.timing import time_jitted
 
     params = model.init(jax.random.PRNGKey(0))
     if dtype is not None:
@@ -100,7 +99,14 @@ def time_model(model, views, iters, warmup=2, dtype=None):
     def step(p, v):
         return model.apply_views(Ctx(), p, v)
 
-    return time_jitted(step, (params, views), iters=iters, warmup=warmup)
+    return step, (params, views)
+
+
+def time_model(model, views, iters, warmup=2, dtype=None):
+    from eventful_transformer_tpu.utils.timing import time_jitted
+
+    step, args = _model_step(model, views, dtype)
+    return time_jitted(step, args, iters=iters, warmup=warmup)
 
 
 def build_vitdet_backbone(eventful, size=672):
@@ -281,15 +287,21 @@ def main():
         ).astype(np.float32)
     )
 
+    from eventful_transformer_tpu.utils.timing import time_jitted_pair
+
     dense = build_model(False, k, args.views, args.frames, args.size)
     dense.frame_scan_unroll = args.vivit_unroll
-    dense_t = time_model(dense, views, args.iters, dtype=args.dtype)
     eventful = build_model(
         True, k, args.views, args.frames, args.size, block_class=args.block,
         fused=args.fused,
     )
     eventful.frame_scan_unroll = args.vivit_unroll
-    eventful_t = time_model(eventful, views, args.iters, dtype=args.dtype)
+    # Interleaved A/B: clock/platform drift hits both paths alike.
+    d_step, d_args = _model_step(dense, views, args.dtype)
+    e_step, e_args = _model_step(eventful, views, args.dtype)
+    dense_t, eventful_t = time_jitted_pair(
+        d_step, d_args, e_step, e_args, iters=args.iters
+    )
 
     clips_per_sec = args.clips / eventful_t
     result = {

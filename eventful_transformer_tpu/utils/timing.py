@@ -64,6 +64,34 @@ def time_repeated(fn, args, repeat=64, iters=5, warmup=1, perturb=None):
     return float(np.median(times)) / repeat
 
 
+def time_jitted_pair(fn_a, args_a, fn_b, args_b, iters=5, warmup=2):
+    """Time two jitted functions INTERLEAVED (A, B, A, B, ...) so clock /
+    thermal / platform drift hits both alike — the A/B protocol behind every
+    dense-vs-eventful ratio in docs/PERF_NOTES.md. Returns (sec_a, sec_b)
+    medians."""
+
+    @jax.jit
+    def probed_a(*a):
+        return scalar_probe(fn_a(*a))
+
+    @jax.jit
+    def probed_b(*a):
+        return scalar_probe(fn_b(*a))
+
+    for _ in range(max(warmup, 1)):
+        float(probed_a(*args_a))
+        float(probed_b(*args_b))
+    times_a, times_b = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(probed_a(*args_a))
+        times_a.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(probed_b(*args_b))
+        times_b.append(time.perf_counter() - t0)
+    return float(np.median(times_a)), float(np.median(times_b))
+
+
 def time_jitted(fn, args, iters=5, warmup=2, median=True):
     """Time ``fn(*args)`` where fn is jit-compiled and returns a pytree.
     Wraps fn so it reduces to a scalar on device; each timed call reads the
