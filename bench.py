@@ -140,8 +140,8 @@ def build_vitdet_backbone(eventful, size=672):
     )
 
 
-def bench_vitdet(args):
-    """Second driver metric: ViTDet-B backbone ms/frame at 672, dense vs
+def bench_vitdet(args, size):
+    """Second driver metric: ViTDet-B backbone ms/frame at ``size``, dense vs
     eventful spatiotemporal k=256, 2 independent streams, interleaved A/B
     measurement, steady-state (state passed in post-flush) — the reference
     timing protocol (scripts/time/vitdet_vid.py:17-56) with the flush frame
@@ -153,7 +153,7 @@ def bench_vitdet(args):
     from eventful_transformer_tpu.core.policies import TokenNormTopK
     from eventful_transformer_tpu.utils.timing import scalar_probe
 
-    size, streams, frames_per_call, k = args.size_override, 2, 16, 256
+    streams, frames_per_call, k = 2, 16, 256
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     n = (size // 16) ** 2
@@ -226,7 +226,9 @@ def bench_vitdet(args):
             "n_tokens": n,
             "streams": streams,
             "frames_per_call": frames_per_call,
-            "config": "spatiotemporal_672 (EventfulBlock pool 2 + windowed Tokenwise)",
+            "config": (
+                f"spatiotemporal_{size} (EventfulBlock pool 2 + windowed Tokenwise)"
+            ),
             "dtype": args.dtype or "float32",
         },
     }
@@ -272,8 +274,7 @@ def main():
     if args.workload in ("all", "vitdet"):
         sizes = (672, 1024) if args.vitdet_size == 0 else (args.vitdet_size,)
         for size in sizes:
-            args.size_override = size
-            print(json.dumps(bench_vitdet(args)), flush=True)
+            print(json.dumps(bench_vitdet(args, size)), flush=True)
         if args.workload == "vitdet":
             return
 

@@ -301,16 +301,24 @@ class Block(Module):
         w = self.input_size if self.window_size is None else self.window_size
         b, h, _, c = x.shape
         ph, pw = self.pool_size
-        if self._pool_by_matmul():
+        pool_elems = ph * pw
+        if self._pool_by_matmul() and (pool_elems & (pool_elems - 1)) == 0:
             # Average pooling as one matmul with a static 0/mean-weight
             # matrix: the 6-D reshape+mean view has minor dims of w/p
             # (badly tile-padded — profiled ~160 us/block at ViTDet-672);
-            # the matmul runs in the standard (N, C) layout. Exact for
-            # power-of-two pools (1/(ph*pw) and the f32-accumulated sums
-            # round identically to the mean).
+            # the matmul runs in the standard (N, C) layout. Exact ONLY for
+            # power-of-two pools (1/(ph*pw) is then a power of two, so the
+            # weighted f32-accumulated sums round identically to the mean) —
+            # non-power-of-two pools fall through to reshape+mean. f32
+            # operands need HIGHEST precision: DEFAULT runs the MXU through
+            # bf16 passes, quantizing the copies (same rule as
+            # indexing._take_cols_onehot).
+            prec = (
+                jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+            )
             return jnp.matmul(
                 _pool_matrix(w, (ph, pw), x.dtype), x,
-                preferred_element_type=x.dtype,
+                preferred_element_type=x.dtype, precision=prec,
             )
         y = x.reshape(-1, w[0] // ph, ph, w[1] // pw, pw, c).mean(axis=(2, 4))
         return y.reshape(b, h, -1, c)
@@ -460,9 +468,11 @@ class EventfulTokenwiseBlock(Block):
     #   n <= V2_MAX:   "v2" — all three groups via the whole-group kernels;
     #     at ViTDet N the k/N FLOP savings dominate and stacks are
     #     heterogeneous (unrolled), so no scan-slice copies.
-    #   n >  V2_MAX:   unfused; the whole-(N, C)-in-VMEM kernels exceed VMEM
-    #     (ViTDet-1024 N=4096), and _recompute() switches the unfused path
-    #     to gathered+buffered there so the matmuls stay k-row-sized.
+    #   n >  V2_MAX:   "blocked" — the whole-(N, C)-in-VMEM kernels exceed
+    #     VMEM (ViTDet-1024 N=4096); the blocked path keeps selection and
+    #     the k-row op in XLA and fuses all full-size state passes
+    #     (gate select + buffer scatter-blend + skip-add) in one tiled
+    #     kernel (ops/pallas/gate_block.py).
     V2MLP_MAX_TOKENS = 512
     V2_MAX_TOKENS = 2048
     RECOMPUTE_MAX_TOKENS = 2048
@@ -472,7 +482,7 @@ class EventfulTokenwiseBlock(Block):
             return False
         if self.fused_gates == "v1":
             return "v1" if self.recompute_buffers else False
-        if self.fused_gates in ("v2", "v2mlp", "v1v2", "v3", True):
+        if self.fused_gates in ("v2", "v2mlp", "v1v2", "v3", "blocked", True):
             return "v2" if self.fused_gates is True else self.fused_gates
         try:
             import jax
@@ -488,7 +498,7 @@ class EventfulTokenwiseBlock(Block):
             return "v2mlp"
         if n_tokens <= self.V2_MAX_TOKENS:
             return "v2"
-        return False
+        return "blocked"
 
     def _recompute(self, n_tokens):
         """Recompute qkv/projection buffers from gate state (dense matmul,
@@ -512,9 +522,11 @@ class EventfulTokenwiseBlock(Block):
             mlp_accumulator=self.mlp_accumulator.init_state((batch, n_out, self.dim), dtype),
         )
         # qkv / projection buffers exist as state when gathered (unfused
-        # non-recompute, or v2 fused which computes on k rows and blends);
-        # the v1 recompute path derives them from p instead.
-        if not self._recompute(n_tokens) or self._fused_mode(n_tokens) == "v2":
+        # non-recompute, or v2/blocked fused which compute on k rows and
+        # blend); the v1 recompute path derives them from p instead.
+        if not self._recompute(n_tokens) or self._fused_mode(n_tokens) in (
+            "v2", "blocked",
+        ):
             state["qkv_accumulator"] = self.qkv_accumulator.init_state(
                 (batch, n_tokens, 3 * self.dim), dtype
             )
@@ -590,6 +602,21 @@ class EventfulTokenwiseBlock(Block):
                 self.qkv,
                 params["qkv"],
                 need_index=self._attention_uses_index,
+            )
+            state["qkv_gate"] = {"p": p_new}
+            state["qkv_accumulator"] = {"b": b_new}
+            x = b_new
+        elif mode == "blocked":
+            (p_new, b_new), index, mask = self._blocked_group_linear(
+                ctx,
+                self.qkv_gate,
+                state["qkv_gate"],
+                state["qkv_accumulator"],
+                x,
+                params["input_layer_norm"],
+                "pre" if self.gate_before_ln else "post",
+                self.qkv,
+                params["qkv"],
             )
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
@@ -809,6 +836,101 @@ class EventfulTokenwiseBlock(Block):
         cov = coverage(index, mask, x.shape[-2], index.ndim + 1)
         return index.shape[-1], index, mask, cov, interpret
 
+    # -- blocked large-N fused kernels (ops/pallas/gate_block.py) -------------
+
+    def _blocked_select(self, ctx, gate, gate_state, x, ln_params, ln_mode):
+        """Selection front half for the blocked large-N path: error norms ->
+        policy -> SORTED indices, coverage and rank (each selected token's
+        prefix position among the selected, in sorted-index order — the row
+        order of the compacted op input). Selection order is semantically
+        free: every consumer is positional (scatters by token position,
+        deduped pooled indices, forced col gates). Returns
+        (s_index, s_mask, cov, rank, interpret)."""
+        import jax
+
+        from eventful_transformer_tpu.core.indexing import coverage
+        from eventful_transformer_tpu.ops.pallas.gate_fused import ln_norms
+
+        interpret = jax.devices()[0].platform == "cpu"
+        p = gate_state["p"]
+        ctx.add("gate_flops", x.size)
+        if ln_mode == "post":
+            norms = ln_norms(
+                x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
+            )
+        else:  # "pre" / "none": error in the input domain
+            norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
+        index, mask = gate.policy.select_from_norms(norms, ctx)
+        n = x.shape[-2]
+        if mask is None:
+            s_index = jnp.sort(index, axis=-1)
+            s_mask = None
+        else:
+            # Sort with invalid slots keyed out-of-range so they land at the
+            # end; their gathered rows are never scattered (cov excludes).
+            key = jnp.where(mask, index, n)
+            s_key = jnp.sort(key, axis=-1)
+            s_mask = s_key < n
+            s_index = jnp.where(s_mask, s_key, 0).astype(jnp.int32)
+        cov = coverage(s_index, s_mask, n, s_index.ndim + 1)  # (B, N)
+        rank = jnp.cumsum(cov, axis=-1) - 1.0
+        return s_index, s_mask, cov, rank, interpret
+
+    def _blocked_group_linear(
+        self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
+        linear_params, skip=None,
+    ):
+        """Blocked gate -> k-row linear -> buffer blend (-> skip-add): the
+        op runs in XLA on the compacted rows; one tiled kernel does every
+        full-size state pass. Returns (kernel outputs, s_index, s_mask)."""
+        from eventful_transformer_tpu.ops.pallas.gate_block import (
+            block_select_scatter,
+        )
+
+        s_index, s_mask, cov, rank, interpret = self._blocked_select(
+            ctx, gate, gate_state, x, ln_params, ln_mode
+        )
+        c = take_rows(x, s_index)
+        if ln_mode != "none":
+            # LN commutes with the row gather (row-local), so gathering the
+            # raw rows then normalizing k rows equals normalizing N rows
+            # then gathering — at k/N of the cost.
+            c = layer_norm(c, ln_params, LN_EPS)
+        h = linear.apply(ctx, linear_params, c, valid_frac=valid_fraction(s_mask))
+        if ln_mode == "none":
+            scale = jnp.ones((x.shape[-1],), jnp.float32)
+            bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        else:
+            scale, bias = ln_params["scale"], ln_params["bias"]
+        outs = block_select_scatter(
+            x, gate_state["p"], buf_state["b"], cov, rank, h, scale, bias,
+            skip, apply_ln=(ln_mode == "post"), interpret=interpret,
+        )
+        return outs, s_index, s_mask
+
+    def _blocked_group_mlp(self, ctx, params, state, x):
+        """Blocked gate -> k-row MLP -> buffer blend -> residual."""
+        from eventful_transformer_tpu.ops.pallas.gate_block import (
+            block_select_scatter,
+        )
+
+        ln_params = params["mlp_layer_norm"]
+        ln_mode = "pre" if self.gate_before_ln else "post"
+        s_index, s_mask, cov, rank, interpret = self._blocked_select(
+            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode
+        )
+        c = layer_norm(take_rows(x, s_index), ln_params, LN_EPS)
+        h = self._forward_mlp(ctx, params, c, valid_frac=valid_fraction(s_mask))
+        p_new, b_new, y = block_select_scatter(
+            x, state["mlp_gate"]["p"], state["mlp_accumulator"]["b"], cov,
+            rank, h, ln_params["scale"], ln_params["bias"],
+            apply_ln=(ln_mode == "post"), residual_x=True, interpret=interpret,
+        )
+        state["mlp_gate"] = {"p": p_new}
+        state["mlp_accumulator"] = {"b": b_new}
+        ctx.add("add_flops", y.size)
+        return y, state
+
     def _v2_group_linear(
         self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
         linear_params, skip=None, need_index=False,
@@ -900,6 +1022,23 @@ class EventfulTokenwiseBlock(Block):
             # Whole-group fused kernel: folds the skip-add in; the counted
             # add below is replicated manually.
             (p_new, b_new, x), _, _ = self._v2_group_linear(
+                ctx,
+                self.projection_gate,
+                state["projection_gate"],
+                state["projection_accumulator"],
+                x,
+                None,
+                "none",
+                self.projection,
+                params["projection"],
+                skip=skip_1,
+            )
+            state["projection_gate"] = {"p": p_new}
+            state["projection_accumulator"] = {"b": b_new}
+            ctx.add("add_flops", x.size)
+            return self._post_projection(ctx, params, state, x, mode, flush)
+        if mode == "blocked":
+            (p_new, b_new, x), _, _ = self._blocked_group_linear(
                 ctx,
                 self.projection_gate,
                 state["projection_gate"],
@@ -1010,6 +1149,9 @@ class EventfulTokenwiseBlock(Block):
         MLP kernel is the clearest per-shape win: the hidden activation
         never leaves VMEM). ``mlp_norms``: gate norms precomputed by the v3
         fused projection kernel."""
+        if mode == "blocked" and not flush:
+            x, state = self._blocked_group_mlp(ctx, params, state, x)
+            return x
         if mode in ("v2", "v2mlp", "v1v2", "v3") and not flush:
             x, state = self._v2_group_mlp(ctx, params, state, x, norms=mlp_norms)
             return x
@@ -1176,6 +1318,26 @@ class EventfulBlock(EventfulMatmul1Block):
     """Adds eventfulness to the attention-value product via delta
     accumulation (reference blocks.py:543-575)."""
 
+    # A·V product strategy. The delta-accumulated product is pure
+    # memoization: the update (reference modules.py:293-294) telescopes to
+    #
+    #   product' = product - Σ_{j∈S} a_old[:,j] ⊗ v_old[j]
+    #                      + Σ_{j∈S} a_new[:,j] ⊗ v_new[j]
+    #
+    # so by induction ``product == p_a @ p_v`` identically at every step
+    # (flush establishes it; each update swaps exactly the S terms — the
+    # same argument as MatmulBuffer.incremental_recompute). Recomputing
+    # replaces BOTH one-hot column gathers of the (B, H, N, Np) attention
+    # matrix (N·Np·k MAC-FLOPs each — 51 GFLOP per global block at
+    # ViTDet-1024), the put_cols scatter matmul + blend, the two gathered
+    # delta matmuls and the (B, H, N, d) accumulator carry with two
+    # elementwise selects and ONE dense N·Np·d matmul (d = 64 « k at every
+    # reference operating point). Also duplicate-index-safe by construction
+    # (select, not scatter-blend). Reported FLOP counts keep the
+    # reference's gathered delta semantics. False restores the cached
+    # accumulator formulation.
+    recompute_av = True
+
     def __init__(self, **super_kwargs):
         super().__init__(**super_kwargs)
         self.v_gate = TokenDeltaGate()
@@ -1194,9 +1356,10 @@ class EventfulBlock(EventfulMatmul1Block):
         state["matmul_gate"] = self.matmul_gate.init_state(
             (batch, self.heads, n_a, n_p), sdtype
         )
-        state["matmul_accumulator_2"] = self.matmul_accumulator_2.init_state(
-            (batch, self.heads, n_a, head_dim), sdtype
-        )
+        if not self.recompute_av:
+            state["matmul_accumulator_2"] = self.matmul_accumulator_2.init_state(
+                (batch, self.heads, n_a, head_dim), sdtype
+            )
         return state
 
     def _attention_flush(self, ctx, params, state, x, aux):
@@ -1205,9 +1368,12 @@ class EventfulBlock(EventfulMatmul1Block):
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
         _, state["v_gate"] = self.v_gate.flush(state["v_gate"], v)
         _, state["matmul_gate"] = self.matmul_gate.flush(state["matmul_gate"], a)
-        x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.flush(
-            ctx, state["matmul_accumulator_2"], a, v
-        )
+        if self.recompute_av:
+            x = counted_matmul(ctx, a, v)
+        else:
+            x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.flush(
+                ctx, state["matmul_accumulator_2"], a, v
+            )
         x = self._recombine_heads(x)
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
@@ -1218,28 +1384,58 @@ class EventfulBlock(EventfulMatmul1Block):
         )
         a, v, old_dtype = self._cast_matmul_2(a, v)
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
-        v_n_tilde, v_delta_tilde, index_v, mask_v, state["v_gate"] = (
-            self.v_gate.incremental(
-                ctx, state["v_gate"], v, forced_index=index_k, forced_mask=mask_k
+        if self.recompute_av:
+            x, state = self._av_recompute(ctx, state, a, v, index_k, mask_k)
+        else:
+            v_n_tilde, v_delta_tilde, index_v, mask_v, state["v_gate"] = (
+                self.v_gate.incremental(
+                    ctx, state["v_gate"], v, forced_index=index_k, forced_mask=mask_k
+                )
             )
-        )
-        a_n_tilde, a_delta_tilde, _, _, state["matmul_gate"] = (
-            self.matmul_gate.incremental(
-                ctx, state["matmul_gate"], a, forced_index=index_v, forced_mask=mask_v
+            a_n_tilde, a_delta_tilde, _, _, state["matmul_gate"] = (
+                self.matmul_gate.incremental(
+                    ctx, state["matmul_gate"], a,
+                    forced_index=index_v, forced_mask=mask_v,
+                )
             )
-        )
-        x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.incremental(
-            ctx,
-            state["matmul_accumulator_2"],
-            a_n_tilde,
-            v_n_tilde,
-            a_delta_tilde,
-            v_delta_tilde,
-            mask=mask_v,
-        )
+            x, state["matmul_accumulator_2"] = self.matmul_accumulator_2.incremental(
+                ctx,
+                state["matmul_accumulator_2"],
+                a_n_tilde,
+                v_n_tilde,
+                a_delta_tilde,
+                v_delta_tilde,
+                mask=mask_v,
+            )
         x = self._recombine_heads(x)
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
+
+    def _av_recompute(self, ctx, state, a, v, index_k, mask_k):
+        """A·V via state recompute (see ``recompute_av``): two elementwise
+        selects + one dense matmul replace the gathered delta pipeline.
+        Counts mirror the reference's delta formulation exactly
+        (modules.py:285-295 + the two gate passes, modules.py:148)."""
+        from eventful_transformer_tpu.core.indexing import select_cols, select_rows
+
+        ctx.add("gate_flops", float(v.size))  # v_gate error pass
+        p_v = select_rows(state["v_gate"]["p"], v, index_k, mask_k)
+        state["v_gate"] = {"p": p_v}
+        ctx.add("gate_flops", float(a.size))  # matmul_gate error pass
+        p_a = select_cols(state["matmul_gate"]["p"], a, index_k, mask_k)
+        state["matmul_gate"] = {"p": p_a}
+        frac = valid_fraction(mask_k)
+        kcap = index_k.shape[-1]
+        batch_heads = a.size // (a.shape[-2] * a.shape[-1])
+        out_size = float(batch_heads * a.shape[-2] * v.shape[-1])
+        # reference counts: accumulator bookkeeping + two gathered matmuls
+        ctx.add(
+            "accumulator_flops",
+            frac * float(batch_heads * kcap * v.shape[-1]) + 2.0 * out_size,
+        )
+        ctx.add("matmul_flops", 2.0 * frac * out_size * kcap)
+        x = jnp.matmul(p_a, p_v, preferred_element_type=p_a.dtype)
+        return x, state
 
 
 BLOCK_CLASSES = {

@@ -123,7 +123,12 @@ class TokenDeltaGate(TokenGate):
             # forced positions, so gather first and subtract on the small
             # arrays — materializing the full-size ``c - p`` at ViTDet
             # attention shapes costs a full (B, H, N, Np) pass + a layout
-            # copy (profiled; docs/PERF_NOTES.md).
+            # copy (profiled; docs/PERF_NOTES.md). PRECONDITION: valid
+            # forced indices must be DISTINCT — the col branch updates state
+            # via put_cols, whose one-hot blend corrupts duplicated
+            # positions (-p + v1 + v2 instead of a single write). Current
+            # callers guarantee this (_pool_index dedups; top-k indices are
+            # distinct); new forced-index callers must too.
             index, mask = forced_index, forced_mask
         if self.structure == "row":
             c_tilde = take_rows(c, index)

@@ -47,6 +47,13 @@ def take_cols(x, index):
     output, products 1.0 * value — bit-exact at any dtype), standard
     layouts, no relayout copies. Duplicate/padding indices are fine (pure
     gather: each output col copies independently).
+
+    PRECONDITION: the operand must be FINITE everywhere, including in
+    unselected columns — the one-hot matmul computes 0 * x for unselected
+    entries, and 0 * inf/nan = nan poisons the output where take_along_axis
+    would simply ignore those columns. All framework call sites gather
+    finite post-softmax/state tensors; do not use this for pre-softmax
+    logits padded with -inf.
     """
     if _onehot_gather_eligible(x):
         return _take_cols_onehot(x, index)

@@ -1,0 +1,195 @@
+"""Blocked (tiled-over-N) gate-group kernel for large token counts.
+
+The whole-group kernels in gate_group.py hold one batch element's full
+(N, C)/(N, F) blocks in VMEM — fine at ViViT/ViTDet-672 token counts, not at
+ViTDet-1024 (N=4096, where the qkv buffer alone is (4096, 2304)). This module
+covers the large-N regime — the regime where eventfulness pays most (the
+gated matmuls are k/N of dense with k/N as low as 1/16) — with a DIFFERENT
+factorization:
+
+  * selection (error norms -> top-k -> sorted indices -> rank) runs in XLA
+    (batched lax.top_k costs ~20 us; docs/PERF_NOTES.md);
+  * the gated op itself (linear or MLP) runs in XLA on the k compacted rows
+    ``h = op(ln(take_rows(x, index)))`` — a well-shaped k-row matmul;
+  * ONE blocked Pallas kernel fuses everything that touches full-size
+    state — gate-state select, buffer scatter-blend, and the skip-add —
+    into a single HBM pass, tiled over N:
+
+        p'_blk = where(cov_blk, ln(x_blk) | x_blk, p_blk)
+        y_blk  = where(cov_blk, E_blk @ h, b_blk)          (+ skip_blk)
+
+    where E_blk[i, j] = (rank[i] == j) & cov[i] is the local one-hot built
+    from the prefix-sum ``rank`` of the coverage (exact row copies on the
+    MXU). This replaces the unfused path's separate LN pass, p-select pass
+    and one-hot put_rows (scatter matmul + full-buffer blend) — read x, p,
+    b (+skip), write p', y is the algorithmic traffic minimum.
+
+``h`` is passed whole to every grid instance (kcap*F stays a few MB at every
+reference operating point, k <= 1024); the E_blk matmul costs N*kcap*F
+MAC-FLOPs total — identical to the XLA one-hot scatter it replaces, but
+fused with the blend instead of materializing an (N, F) intermediate.
+
+Semantics are exactly the unfused gathered gate->op->buffer pipeline
+(reference eventful_transformer/modules.py:104-168 gating, modules.py:52-101
+buffering, blocks.py:422-463 group structure); parity-tested against the
+unfused path in tests/test_pallas.py. Numerics: LN in f32 (as
+core.nn.layer_norm); one-hot copy matmuls at HIGHEST precision for f32
+(DEFAULT quantizes f32 through bf16 MXU passes) and DEFAULT for bf16
+(products 1.0 * value are exact anyway; Mosaic rejects HIGHEST bf16).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+def _ln_f32(x, scale, bias):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _copy_precision(dtype):
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _make_kernel(apply_ln, out_mode):
+    """out_mode: None (p', b' only), "skip" (+ y = b' + skip input),
+    "x" (+ y = b' + x input — the MLP group's residual)."""
+
+    def kernel(*refs):
+        if out_mode == "skip":
+            (x_ref, p_ref, b_ref, skip_ref, cov_ref, rank_ref, h_ref,
+             scale_ref, bias_ref, p_out, b_out, y_out) = refs
+        elif out_mode == "x":
+            (x_ref, p_ref, b_ref, cov_ref, rank_ref, h_ref,
+             scale_ref, bias_ref, p_out, b_out, y_out) = refs
+        else:
+            (x_ref, p_ref, b_ref, cov_ref, rank_ref, h_ref,
+             scale_ref, bias_ref, p_out, b_out) = refs
+        if apply_ln:
+            new = _ln_f32(
+                x_ref[0],
+                scale_ref[0].astype(jnp.float32),
+                bias_ref[0].astype(jnp.float32),
+            )
+        else:
+            new = x_ref[0].astype(jnp.float32)
+        covc = cov_ref[0, 0][:, None] > 0  # (bn, 1)
+        p_new = jnp.where(covc, new, p_ref[0].astype(jnp.float32))
+        p_out[0] = p_new.astype(p_out.dtype)
+        h = h_ref[0]
+        kp = h.shape[0]
+        bn = covc.shape[0]
+        # Mosaic iota must be integer; ranks are small (< N) so the f32
+        # carrier casts back exactly.
+        j = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
+        rank_i = rank_ref[0, 0].astype(jnp.int32)[:, None]
+        e = ((rank_i == j) & covc).astype(h.dtype)
+        scattered = jax.lax.dot_general(
+            e, h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(e.dtype),
+        ).astype(b_out.dtype)
+        y = jnp.where(covc, scattered, b_ref[0])
+        b_out[0] = y
+        if out_mode == "skip":
+            y_out[0] = (y + skip_ref[0]).astype(y_out.dtype)
+        elif out_mode == "x":
+            y_out[0] = (y + x_ref[0]).astype(y_out.dtype)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_ln", "residual_x", "block_n", "interpret"),
+)
+def block_select_scatter(
+    x, p, b, cov, rank, h, scale, bias, skip=None, *,
+    apply_ln, residual_x=False, block_n=512, interpret=False,
+):
+    """Fused gate-state select + buffer scatter-blend (+ residual), blocked
+    over the token axis.
+
+    x, p (B, N, C); b (B, N, F) token buffer; cov (B, N) selection coverage
+    (>0 = selected); rank (B, N) prefix-sum position of each token among the
+    selected (in sorted-index order — any value where cov == 0); h (B, KP, F)
+    with row j holding the op output for the j-th selected token in that same
+    order; skip (B, N, F) optional fused residual; ``residual_x`` instead
+    adds x itself (the MLP group; requires F == C).
+
+    Returns (p', b') or (p', b', b' + skip|x). ``apply_ln``: gate domain is
+    ln(x) (gate-after-LN groups) vs x (gate-before-LN / projection groups).
+    """
+    bsz, n, c = x.shape
+    f = b.shape[-1]
+    kp = h.shape[-2]
+    assert not (residual_x and skip is not None)
+    out_mode = "x" if residual_x else ("skip" if skip is not None else None)
+    block_n = min(block_n, n)
+    grid = (bsz, pl.cdiv(n, block_n))
+    row_c = lambda i, j: (i, j, 0)
+    vec_n = lambda i, j: (i, 0, j)
+    full = lambda i, j: (i, 0, 0)
+    const = lambda i, j: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_n, c), row_c),
+        pl.BlockSpec((1, block_n, c), row_c),
+        pl.BlockSpec((1, block_n, f), row_c),
+    ]
+    args = [x, p, b]
+    if out_mode == "skip":
+        in_specs.append(pl.BlockSpec((1, block_n, f), row_c))
+        args.append(skip)
+    in_specs += [
+        pl.BlockSpec((1, 1, block_n), vec_n),
+        pl.BlockSpec((1, 1, block_n), vec_n),
+        pl.BlockSpec((1, kp, f), full),
+        pl.BlockSpec((1, c), const),
+        pl.BlockSpec((1, c), const),
+    ]
+    args += [
+        cov.reshape(bsz, 1, n).astype(jnp.float32),
+        rank.reshape(bsz, 1, n).astype(jnp.float32),
+        h,
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_n, c), row_c),
+        pl.BlockSpec((1, block_n, f), row_c),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
+        jax.ShapeDtypeStruct((bsz, n, f), b.dtype),
+    ]
+    if out_mode is not None:
+        out_specs.append(pl.BlockSpec((1, block_n, f), row_c))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, n, f), x.dtype))
+    outs = pl.pallas_call(
+        _make_kernel(apply_ln, out_mode),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return tuple(outs)

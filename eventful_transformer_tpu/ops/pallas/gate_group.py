@@ -111,6 +111,21 @@ def _compaction_onehot(cov_row, kcap, dtype):
     return e.astype(dtype)
 
 
+def _cumsum_lanes(x):
+    """Inclusive prefix sum of a (1, N) f32 vector along the lane axis via
+    Hillis-Steele doubling on ``pltpu.roll`` (Mosaic has no cumsum lowering;
+    the (N, N) triangular-matmul alternative is VMEM-hungry at large N).
+    log2(N) roll+mask+add vector steps, exact for 0/1 inputs."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    d = 1
+    while d < n:
+        shifted = pltpu.roll(x, d, axis=1)  # shifted[i] = x[i - d] (circular)
+        x = x + jnp.where(col >= d, shifted, 0.0)
+        d *= 2
+    return x
+
+
 def _topk_cov(new, p_row, kcap):
     """In-kernel exact top-k selection coverage.
 
@@ -118,14 +133,16 @@ def _topk_cov(new, p_row, kcap):
     cov (1, N) f32, 1.0 at the kcap largest error norms — the same SET
     jax.lax.top_k selects (ties at the k-th value broken by smallest index).
 
-    Selection by RANK: token i is selected iff fewer than kcap tokens are
-    strictly ahead of it under the total order (norm desc, index asc) —
-    exactly lax.top_k's stable order. The rank is a row-count of an (N, N)
-    comparison matrix: a handful of VPU broadcast ops + one (N, N)x(N, 1)
-    ones-matmul on the MXU. Unlike the bisection variant this used to be
-    (31 serialized scalar reductions, +80us/kernel), the comparison matrix
-    is one parallel pass, so the whole gate group fuses into a single
-    kernel with no separate norms pass and no XLA top_k round trip.
+    Radix bisection over the norm BIT PATTERNS (non-negative IEEE f32
+    bit patterns order like integers): 4 phases narrow the k-th largest
+    value V by 8 bits each. Each phase evaluates all 256 byte candidates IN
+    PARALLEL — a (256, N) compare matrix and one (256, N) x (N, 1)
+    ones-matmul row-count on the MXU — so the serial chain is 4 steps, not
+    the 31 scalar reductions of the naive bit-serial bisection, and there is
+    no (N, N) comparison matrix (the previous rank-compare formulation,
+    which hung the Mosaic compile at N=1764). Ties at V are broken by
+    smallest index via a roll-based prefix sum, matching lax.top_k's stable
+    order exactly.
     """
     err = new - p_row
     # sqrt to match the two-phase path's tie behavior exactly (top_k runs on
@@ -133,20 +150,41 @@ def _topk_cov(new, p_row, kcap):
     # would distinguish).
     norms = jnp.sqrt(jnp.sum(err * err, axis=-1, keepdims=True))  # (N, 1)
     n = norms.shape[0]
-    col = norms  # (N, 1): token i (broadcast over rows j)
-    row = norms.reshape(1, n)  # (1, N): token j
-    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    idx_j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    ahead = (row > col) | ((row == col) & (idx_j < idx_i))  # j ahead of i
-    # rank_i = #ahead: ones-matmul row-count (exact: 0/1 values, f32 acc).
-    rank = jax.lax.dot_general(
-        ahead.astype(jnp.float32), jnp.ones((n, 1), jnp.float32),
+    keys = jax.lax.bitcast_convert_type(norms, jnp.int32)  # (N, 1), >= 0
+    keys_row = keys.reshape(1, n)
+    ones_col = jnp.ones((n, 1), jnp.float32)
+    kf = jnp.float32(kcap)
+    prefix = jnp.zeros((256, 1), jnp.int32)
+    byte = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    # Invariant per phase: count(keys >= prefix) >= kcap; the largest byte b
+    # with count(keys >= prefix | b << shift) >= kcap extends the prefix
+    # (b = 0 always qualifies, so the max is well-defined).
+    for shift in (23, 15, 7, 0):
+        # phase 4 covers 7 bits (31-bit non-negative patterns): candidates
+        # 128..255 alias 0..127 — harmless, the max picks the true byte
+        # because count() is monotone in the candidate.
+        cands = prefix | (byte << shift)  # (256, 1)
+        ge = (keys_row >= cands).astype(jnp.float32)  # (256, N)
+        cnt = jax.lax.dot_general(
+            ge, ones_col,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (256, 1)
+        best = jnp.max(jnp.where(cnt >= kf, byte, 0))  # scalar
+        prefix = prefix | (best << shift)
+    v = prefix[0, 0]  # the k-th largest key (bit pattern)
+    gt = (keys_row > v).astype(jnp.float32)  # (1, N)
+    eq = (keys_row == v).astype(jnp.float32)
+    n_gt = jax.lax.dot_general(
+        gt, ones_col,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (N, 1)
-    cov = (rank < kcap).astype(jnp.float32)  # (N, 1)
-    return cov.reshape(1, n)
+    )[0, 0]
+    tie_rank = _cumsum_lanes(eq)  # inclusive prefix count of ties
+    cov = gt + eq * (tie_rank <= kf - n_gt).astype(jnp.float32)
+    return cov
 
 
 def _copy_precision(dtype):

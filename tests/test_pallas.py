@@ -170,3 +170,145 @@ def test_count_accumulation_exact_at_vitdet_1024_scale():
             for v in increments:
                 naive = np.float32(naive + np.float32(v))
     assert abs(float(naive) - want) / want > 1e-9
+
+
+def _run_block_sequence(blk, params, x_seq, n_tokens):
+    """Flush + incremental steps through one eventful block; returns
+    (outputs list, final state, Counts)."""
+    import jax
+
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    ctx = Ctx(count_mode=True)
+    state = blk.init_state(x_seq[0].shape[0], n_tokens)
+    outs = []
+    for t, x in enumerate(x_seq):
+        y, state = blk.apply(
+            ctx, params, state, x, mode="flush" if t == 0 else "incremental"
+        )
+        outs.append(y)
+    return outs, state, Counts.from_device(ctx.counts)
+
+
+def _blocked_vs_unfused(block_cls, policy, n=32, steps=3, **overrides):
+    """Blocked large-N fused path == the unfused gathered+buffered path,
+    value- and count-exact (interpret mode on CPU)."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core import blocks as blocks_mod
+
+    rng = np.random.default_rng(3)
+    B, C = 2, 64
+    kwargs = dict(dim=C, heads=4, mlp_ratio=2, input_size=(4, 8))
+    kwargs.update(overrides)
+    blk_a = block_cls(**kwargs)
+    blk_b = block_cls(**kwargs)
+    for blk, mode in ((blk_a, False), (blk_b, "blocked")):
+        blk.fused_gates = mode
+        blk.recompute_buffers = False  # buffered twin of the blocked path
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+        for gate in getattr(blk, "v_gate", None) and [blk.v_gate, blk.matmul_gate] or []:
+            gate.policy = copy.deepcopy(policy)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(steps)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
+        )
+    flat_a = jax.tree_util.tree_leaves(state_a)
+    flat_b = jax.tree_util.tree_leaves(state_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(la), rtol=2e-5, atol=2e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_blocked_group_tokenwise_topk():
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    _blocked_vs_unfused(EventfulTokenwiseBlock, TokenNormTopK(k=9))
+
+
+def test_blocked_group_tokenwise_threshold_mask():
+    """Masked (threshold, capped-capacity) selection through the blocked
+    path: invalid slots scatter nothing."""
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormThreshold
+
+    _blocked_vs_unfused(
+        EventfulTokenwiseBlock, TokenNormThreshold(threshold=3.0, capacity=12)
+    )
+
+
+def test_blocked_group_gate_before_ln():
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    _blocked_vs_unfused(
+        EventfulTokenwiseBlock, TokenNormTopK(k=9), gate_before_ln=True
+    )
+
+
+def test_blocked_group_eventful_block_pooled():
+    """Full EventfulBlock (incremental q-kT + delta A-V) with k/v pooling on
+    the blocked tokenwise path; sorted selection indices are positionally
+    equivalent (pooled dedup, forced col gates)."""
+    from eventful_transformer_tpu.core.blocks import EventfulBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    _blocked_vs_unfused(EventfulBlock, TokenNormTopK(k=9), pool_size=2)
+
+
+def test_av_recompute_matches_delta_accumulator():
+    """EventfulBlock.recompute_av: the A-V product recomputed as
+    p_a @ p_v equals the reference's delta-accumulated product (pure
+    memoization — the update telescopes), with identical FLOP counts."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(7)
+    B, n, C = 2, 32, 64
+    kwargs = dict(dim=C, heads=4, mlp_ratio=2, input_size=(4, 8), pool_size=2)
+    blk_a = EventfulBlock(**kwargs)
+    blk_b = EventfulBlock(**kwargs)
+    policy = TokenNormTopK(k=9)
+    for blk, rec in ((blk_a, False), (blk_b, True)):
+        blk.recompute_av = rec
+        blk.fused_gates = False
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(4)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
+        )
+    # gate reference states agree; the accumulator state no longer exists
+    for key in ("v_gate", "matmul_gate"):
+        np.testing.assert_allclose(
+            np.asarray(state_b[key]["p"]), np.asarray(state_a[key]["p"]),
+            rtol=2e-5, atol=2e-5,
+        )
+    assert "matmul_accumulator_2" not in state_b
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
