@@ -234,6 +234,89 @@ def bench_vitdet(args, size):
     }
 
 
+def bench_vitdet_e2e(args, size):
+    """Full-pipeline ViTDet frame latency at batch 1 — the reference timing
+    protocol (scripts/time/vitdet_vid.py:17-56): pre_backbone + backbone +
+    SimplePyramid + RPN + ROI heads per frame, steady-state (flush frame
+    excluded), dense (base_{size}) vs eventful (spatiotemporal_{size},
+    k=256) built from the actual eval configs. Frames are scanned in-jit
+    (state dependence serializes them), so the per-frame number is true
+    on-device latency without the remote platform's per-dispatch overhead.
+    """
+    import time
+
+    from eventful_transformer_tpu.core.counting import Ctx
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+    from eventful_transformer_tpu.models.vitdet import ViTDet
+    from eventful_transformer_tpu.utils.config import load_config
+    from eventful_transformer_tpu.utils.misc import set_policies
+    from eventful_transformer_tpu.utils.timing import scalar_probe
+
+    frames_per_call, k = 8, 256
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+
+    def setup(config_name):
+        config = load_config(f"configs/evaluate/vitdet_vid/{config_name}.yml")
+        model = ViTDet(**config["model"])
+        eventful = bool(config.get("token_top_k"))
+        if eventful:
+            set_policies(model, TokenNormTopK, k=k)
+        params = model.init(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
+        )
+        frames = jnp.asarray(
+            rng.random((frames_per_call, 1, 3, size, size), dtype=np.float32)
+        )
+
+        def fwd(p, state, fr):
+            aux = model.precompute(p)
+
+            def body(carry, frame):
+                out, s = model.apply(Ctx(), p, carry, frame, aux)
+                return s, scalar_probe(out)
+
+            state, probes = jax.lax.scan(body, state, fr)
+            return state, jnp.sum(probes)
+
+        jit_fwd = jax.jit(fwd)
+        state = model.init_state(1, dtype)
+        state, probe = jit_fwd(params, state, frames[:1])  # flush
+        float(probe)
+        return jit_fwd, params, state, frames
+
+    d_fwd, d_params, d_state, d_frames = setup(f"base_{size}")
+    e_fwd, e_params, e_state, e_frames = setup(f"spatiotemporal_{size}")
+    float(d_fwd(d_params, d_state, d_frames)[1])
+    float(e_fwd(e_params, e_state, e_frames)[1])
+    d_times, e_times = [], []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        float(d_fwd(d_params, d_state, d_frames)[1])
+        d_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(e_fwd(e_params, e_state, e_frames)[1])
+        e_times.append(time.perf_counter() - t0)
+    d_t = float(np.median(d_times)) / frames_per_call
+    e_t = float(np.median(e_times)) / frames_per_call
+    return {
+        "metric": f"vitdet_b_{size}_e2e_eventful_fps_batch1",
+        "value": round(1.0 / e_t, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(d_t / e_t, 4),
+        "detail": {
+            "dense_ms_per_frame": round(d_t * 1e3, 3),
+            "eventful_ms_per_frame": round(e_t * 1e3, 3),
+            "k": k,
+            "batch": 1,
+            "pipeline": "pre_backbone+backbone+pyramid+rpn+roi",
+            "config": f"spatiotemporal_{size} vs base_{size}",
+            "dtype": args.dtype or "float32",
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--views", type=int, default=4)
@@ -265,7 +348,8 @@ def main():
         "ViViT scale (attention eventfulness pays off at ViTDet token counts)",
     )
     parser.add_argument(
-        "--workload", default="all", choices=["all", "vivit", "vitdet"],
+        "--workload", default="all",
+        choices=["all", "vivit", "vitdet", "vitdet-e2e", "vivit-latency"],
         help="which benchmark(s) to run; the ViViT K400 line prints LAST "
         "(it is the canonical driver metric)",
     )
@@ -276,6 +360,47 @@ def main():
         for size in sizes:
             print(json.dumps(bench_vitdet(args, size)), flush=True)
         if args.workload == "vitdet":
+            return
+
+    if args.workload in ("all", "vitdet-e2e"):
+        size = args.vitdet_size or 672
+        print(json.dumps(bench_vitdet_e2e(args, size)), flush=True)
+        if args.workload == "vitdet-e2e":
+            return
+
+    if args.workload in ("all", "vivit-latency"):
+        # Batch-1 latency (the paper's edge regime): one clip, its views
+        # batched as the protocol requires, per-clip wall-clock.
+        n_tokens = (args.size // 16) ** 2 + 1
+        k = int(args.budget * n_tokens)
+        rng = np.random.default_rng(0)
+        one = jnp.asarray(
+            rng.standard_normal(
+                (1, args.views, args.frames, 3, args.size, args.size)
+            ).astype(np.float32)
+        )
+        from eventful_transformer_tpu.utils.timing import time_jitted_pair
+
+        dense_l = build_model(False, k, args.views, args.frames, args.size)
+        event_l = build_model(
+            True, k, args.views, args.frames, args.size, block_class=args.block,
+            fused=args.fused,
+        )
+        d_step, d_args = _model_step(dense_l, one, args.dtype)
+        e_step, e_args = _model_step(event_l, one, args.dtype)
+        d_t, e_t = time_jitted_pair(d_step, d_args, e_step, e_args, iters=args.iters)
+        print(json.dumps({
+            "metric": "vivit_b_k400_latency_ms_per_clip_batch1",
+            "value": round(e_t * 1e3, 3),
+            "unit": "ms/clip",
+            "vs_baseline": round(d_t / e_t, 4),
+            "detail": {
+                "dense_ms_per_clip": round(d_t * 1e3, 3),
+                "k": k, "views": args.views, "frames": args.frames,
+                "block": args.block, "dtype": args.dtype or "float32",
+            },
+        }), flush=True)
+        if args.workload == "vivit-latency":
             return
 
     n_tokens = (args.size // 16) ** 2 + 1

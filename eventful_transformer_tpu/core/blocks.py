@@ -1260,7 +1260,9 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
         a = self._matmul_1_post(ctx, params, a, q, aux)
         return a, v, state, None, None
 
-    def _forward_matmul_1_incremental(self, ctx, params, state, x, index, mask, aux):
+    def _forward_matmul_1_incremental(
+        self, ctx, params, state, x, index, mask, aux, softmax=True
+    ):
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
         v = self._pool_tokens(v)
@@ -1281,16 +1283,18 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
                 mask,
                 mask_k,
             )
-        a = self._matmul_1_post(ctx, params, a, q, aux)
+        a = self._matmul_1_post(ctx, params, a, q, aux, softmax=softmax)
         return a, v, state, index_k, mask_k
 
-    def _matmul_1_post(self, ctx, params, a, q, aux):
+    def _matmul_1_post(self, ctx, params, a, q, aux, softmax=True):
         if self.relative_position is not None:
             derived = aux.get("relative") if aux else None
             a = self.relative_position.apply(
                 ctx, params["relative_position"], a, q, derived=derived
             )
-        return jax.nn.softmax(a, axis=-1)
+        # ``softmax=False`` defers the softmax to the fused A-V kernel
+        # (ops/pallas/av_softmax.py), which computes it in-VMEM.
+        return jax.nn.softmax(a, axis=-1) if softmax else a
 
     def _pool_index(self, index, mask):
         """Map token indices to pooled-grid indices, deduplicating like the
@@ -1378,13 +1382,46 @@ class EventfulBlock(EventfulMatmul1Block):
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
 
+    # Fused softmax->select->matmul A·V kernel (ops/pallas/av_softmax.py):
+    # "auto" enables on TPU with recompute_av when the pooled column count
+    # is lane-friendly (measured: ViTDet-1024 Np=1024 27.1 vs 29.9 ms/frame;
+    # ViTDet-672 Np=441 pads to 512 lanes and the kernel LOSES 1.8 ms/frame
+    # to the XLA softmax+select fusion chain — docs/PERF_NOTES.md round 3);
+    # True forces (interpret off-TPU); False always unfused.
+    av_kernel = "auto"
+    AV_KERNEL_MIN_COLS = 512
+
+    def _use_av_kernel(self, ctx, n_cols):
+        if (
+            not self.recompute_av
+            or self.ats_fraction is not None
+            or ctx.training
+            or self.av_kernel is False
+        ):
+            return False
+        if self.av_kernel is True:
+            return True
+        if n_cols < self.AV_KERNEL_MIN_COLS:
+            return False
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
     def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
+        use_kernel = self._use_av_kernel(
+            ctx, self._pooled_tokens(x.shape[-2])
+        )
         a, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
-            ctx, params, state, x, index, mask, aux
+            ctx, params, state, x, index, mask, aux, softmax=not use_kernel
         )
         a, v, old_dtype = self._cast_matmul_2(a, v)
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
-        if self.recompute_av:
+        if use_kernel:
+            x, state = self._av_recompute(
+                ctx, state, a, v, index_k, mask_k, fuse_softmax=True
+            )
+        elif self.recompute_av:
             x, state = self._av_recompute(ctx, state, a, v, index_k, mask_k)
         else:
             v_n_tilde, v_delta_tilde, index_v, mask_v, state["v_gate"] = (
@@ -1411,19 +1448,38 @@ class EventfulBlock(EventfulMatmul1Block):
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
 
-    def _av_recompute(self, ctx, state, a, v, index_k, mask_k):
+    def _av_recompute(self, ctx, state, a, v, index_k, mask_k, fuse_softmax=False):
         """A·V via state recompute (see ``recompute_av``): two elementwise
         selects + one dense matmul replace the gathered delta pipeline.
-        Counts mirror the reference's delta formulation exactly
-        (modules.py:285-295 + the two gate passes, modules.py:148)."""
-        from eventful_transformer_tpu.core.indexing import select_cols, select_rows
+        With ``fuse_softmax`` the chain runs as ONE Pallas kernel over the
+        pre-softmax logits ``a`` (see av_kernel). Counts mirror the
+        reference's delta formulation exactly (modules.py:285-295 + the two
+        gate passes, modules.py:148)."""
+        from eventful_transformer_tpu.core.indexing import (
+            coverage,
+            select_cols,
+            select_rows,
+        )
 
         ctx.add("gate_flops", float(v.size))  # v_gate error pass
         p_v = select_rows(state["v_gate"]["p"], v, index_k, mask_k)
         state["v_gate"] = {"p": p_v}
         ctx.add("gate_flops", float(a.size))  # matmul_gate error pass
-        p_a = select_cols(state["matmul_gate"]["p"], a, index_k, mask_k)
-        state["matmul_gate"] = {"p": p_a}
+        if fuse_softmax:
+            from eventful_transformer_tpu.ops.pallas.av_softmax import (
+                softmax_select_matmul,
+            )
+
+            interpret = jax.devices()[0].platform == "cpu"
+            cov = coverage(index_k, mask_k, a.shape[-1], index_k.ndim + 1)
+            p_a, x = softmax_select_matmul(
+                a, state["matmul_gate"]["p"], cov, p_v, interpret=interpret
+            )
+            state["matmul_gate"] = {"p": p_a}
+        else:
+            p_a = select_cols(state["matmul_gate"]["p"], a, index_k, mask_k)
+            state["matmul_gate"] = {"p": p_a}
+            x = jnp.matmul(p_a, p_v, preferred_element_type=p_a.dtype)
         frac = valid_fraction(mask_k)
         kcap = index_k.shape[-1]
         batch_heads = a.size // (a.shape[-2] * a.shape[-1])
@@ -1434,7 +1490,6 @@ class EventfulBlock(EventfulMatmul1Block):
             frac * float(batch_heads * kcap * v.shape[-1]) + 2.0 * out_size,
         )
         ctx.add("matmul_flops", 2.0 * frac * out_size * kcap)
-        x = jnp.matmul(p_a, p_v, preferred_element_type=p_a.dtype)
         return x, state
 
 

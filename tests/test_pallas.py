@@ -312,3 +312,44 @@ def test_av_recompute_matches_delta_accumulator():
     assert "matmul_accumulator_2" not in state_b
     for key in counts_a:
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_av_softmax_kernel_matches_unfused():
+    """The fused softmax->select->matmul A-V kernel == the unfused
+    recompute_av chain (softmax in f32 vs working dtype: tolerance)."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(11)
+    B, n, C = 2, 32, 64
+    kwargs = dict(dim=C, heads=4, mlp_ratio=2, input_size=(4, 8), pool_size=2)
+    blk_a = EventfulBlock(**kwargs)
+    blk_b = EventfulBlock(**kwargs)
+    policy = TokenNormTopK(k=9)
+    for blk, use_kernel in ((blk_a, False), (blk_b, True)):
+        blk.av_kernel = use_kernel
+        blk.fused_gates = False
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    for key in ("v_gate", "matmul_gate"):
+        np.testing.assert_allclose(
+            np.asarray(state_b[key]["p"]), np.asarray(state_a[key]["p"]),
+            rtol=5e-5, atol=5e-5,
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
