@@ -45,7 +45,8 @@ except Exception:
 
 
 def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
-                block_class="EventfulTokenwiseBlock", fused=None):
+                block_class="EventfulTokenwiseBlock", fused=None,
+                topk_in_kernel=False):
     from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
     from eventful_transformer_tpu.core.gating import TokenGate
     from eventful_transformer_tpu.core.policies import TokenNormTopK
@@ -82,6 +83,9 @@ def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
         if fused is not None:
             for blk in model.modules_of_type(EventfulTokenwiseBlock):
                 blk.fused_gates = {"False": False}.get(fused, fused)
+        if topk_in_kernel:
+            for blk in model.modules_of_type(EventfulTokenwiseBlock):
+                blk.in_kernel_topk = True
     return model
 
 
@@ -339,7 +343,11 @@ def main():
         "unroll (measured: while-loop back-edge copies of the eventful "
         "state cost ~1.5 ms/frame at 672, docs/PERF_NOTES.md)")
     parser.add_argument("--fused", default=None,
-        help="force gate-fusion mode on eventful blocks: v2mlp/v2/v1/False")
+        help="force gate-fusion mode on eventful blocks: "
+        "v2mlp/v2/v1/v1v2/v3/blocked/False")
+    parser.add_argument("--topk-in-kernel", action="store_true",
+        help="force in-kernel radix-bisection top-k selection inside the "
+        "fused gate-group kernels (vivit workload)")
     parser.add_argument(
         "--block",
         default="EventfulTokenwiseBlock",
@@ -419,7 +427,7 @@ def main():
     dense.frame_scan_unroll = args.vivit_unroll
     eventful = build_model(
         True, k, args.views, args.frames, args.size, block_class=args.block,
-        fused=args.fused,
+        fused=args.fused, topk_in_kernel=args.topk_in_kernel,
     )
     eventful.frame_scan_unroll = args.vivit_unroll
     # Interleaved A/B: clock/platform drift hits both paths alike.

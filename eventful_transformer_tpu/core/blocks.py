@@ -75,6 +75,7 @@ class Block(Module):
         matmul_2_cast=None,
         pool_size=None,
         window_size=None,
+        sequence_parallel=None,
     ):
         self.dim = dim
         self.heads = heads
@@ -85,6 +86,14 @@ class Block(Module):
             assert 0.0 <= ats_fraction <= 1.0
         assert 0.0 <= drop_path_rate <= 1.0
         assert matmul_2_cast in (None, "float16", "bfloat16")
+        if sequence_parallel is not None:
+            # Ulysses sequence parallelism covers the global-attention
+            # configuration (the one that grows with N); windows/pooling/
+            # rel-pos/ATS keep attention local or data-dependent and stay
+            # single-shard (SURVEY.md §5 long-context row).
+            assert window_size is None and pool_size is None
+            assert relative_embedding_size is None and ats_fraction is None
+        self.sequence_parallel = sequence_parallel
         self.ats_fraction = ats_fraction
         self.matmul_2_cast = matmul_2_cast
         self.pool_size = None if pool_size is None else numeric_tuple(pool_size, 2)
@@ -215,6 +224,8 @@ class Block(Module):
         return x, state
 
     def _forward_attention(self, ctx, params, state, x, aux):
+        if self.sequence_parallel is not None:
+            return self._attention_ulysses(ctx, x), None, state
         x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
@@ -234,6 +245,34 @@ class Block(Module):
         x = self._recombine_windows(x)
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
+
+    def _attention_ulysses(self, ctx, x):
+        """Ulysses sequence-parallel attention (parallel/sequence.py design):
+        must run inside a ``shard_map`` whose ``sequence_parallel`` mesh axis
+        shards the token dimension. qkv arrives token-sharded (B, N/P, 3C);
+        two all-to-alls trade tokens for heads so each shard computes EXACT
+        attention for heads/P heads over the full sequence. Bit-identical to
+        the single-device path (same matmul shapes per head, same softmax
+        rows). FLOP counts are per shard under SP.
+        """
+        axis = self.sequence_parallel
+        b, n_local, c3 = x.shape
+        head_dim = c3 // (3 * self.heads)
+        x = x.reshape(b, n_local, 3, self.heads, head_dim)
+        # tokens <-> heads: gather the FULL sequence for heads/P local heads
+        x = jax.lax.all_to_all(x, axis, split_axis=3, concat_axis=1, tiled=True)
+        q, k, v = jnp.moveaxis(x, 2, 0)  # (B, N, H/P, D) each
+        q = jnp.swapaxes(q, 1, 2)  # (B, H/P, N, D)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        a = counted_matmul(ctx, q / self.scale, jnp.swapaxes(k, -2, -1))
+        a = jax.nn.softmax(a, axis=-1)
+        a, v, old_dtype = self._cast_matmul_2(a, v)
+        o = counted_matmul(ctx, a, v)
+        o = self._uncast_matmul_2(o, old_dtype)
+        o = jnp.swapaxes(o, 1, 2)  # (B, N, H/P, D)
+        o = jax.lax.all_to_all(o, axis, split_axis=1, concat_axis=2, tiled=True)
+        return o.reshape(b, n_local, self.heads * head_dim)
 
     def _forward_mlp(self, ctx, params, x, valid_frac=1):
         x = self.mlp_1.apply(ctx, params["mlp_1"], x, valid_frac)
@@ -1261,7 +1300,7 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
         return a, v, state, None, None
 
     def _forward_matmul_1_incremental(
-        self, ctx, params, state, x, index, mask, aux, softmax=True
+        self, ctx, params, state, x, index, mask, aux, softmax=True, bias=True
     ):
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
@@ -1283,17 +1322,18 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
                 mask,
                 mask_k,
             )
-        a = self._matmul_1_post(ctx, params, a, q, aux, softmax=softmax)
-        return a, v, state, index_k, mask_k
+        a = self._matmul_1_post(ctx, params, a, q, aux, softmax=softmax, bias=bias)
+        return a, q, v, state, index_k, mask_k
 
-    def _matmul_1_post(self, ctx, params, a, q, aux, softmax=True):
-        if self.relative_position is not None:
+    def _matmul_1_post(self, ctx, params, a, q, aux, softmax=True, bias=True):
+        # ``bias=False`` / ``softmax=False`` defer the rel-pos bias and the
+        # softmax to the fused A-V kernel (ops/pallas/av_softmax.py), which
+        # computes them in-VMEM.
+        if self.relative_position is not None and bias:
             derived = aux.get("relative") if aux else None
             a = self.relative_position.apply(
                 ctx, params["relative_position"], a, q, derived=derived
             )
-        # ``softmax=False`` defers the softmax to the fused A-V kernel
-        # (ops/pallas/av_softmax.py), which computes it in-VMEM.
         return jax.nn.softmax(a, axis=-1) if softmax else a
 
     def _pool_index(self, index, mask):
@@ -1412,14 +1452,29 @@ class EventfulBlock(EventfulMatmul1Block):
         use_kernel = self._use_av_kernel(
             ctx, self._pooled_tokens(x.shape[-2])
         )
-        a, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
-            ctx, params, state, x, index, mask, aux, softmax=not use_kernel
+        fuse_bias = False
+        if use_kernel and self.relative_position is not None:
+            from eventful_transformer_tpu.ops.pallas.av_softmax import row_block
+
+            ag = self.relative_position.attention_size
+            fuse_bias = row_block(ag[0], ag[1]) > 0
+        a, q, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
+            ctx, params, state, x, index, mask, aux,
+            softmax=not use_kernel, bias=not fuse_bias,
         )
         a, v, old_dtype = self._cast_matmul_2(a, v)
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
         if use_kernel:
+            rel = None
+            if fuse_bias:
+                derived = aux.get("relative") if aux else None
+                if derived is None:
+                    derived = self.relative_position.precompute(
+                        params["relative_position"]
+                    )
+                rel = (q, derived)
             x, state = self._av_recompute(
-                ctx, state, a, v, index_k, mask_k, fuse_softmax=True
+                ctx, state, a, v, index_k, mask_k, fuse_softmax=True, rel=rel
             )
         elif self.recompute_av:
             x, state = self._av_recompute(ctx, state, a, v, index_k, mask_k)
@@ -1448,7 +1503,8 @@ class EventfulBlock(EventfulMatmul1Block):
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
 
-    def _av_recompute(self, ctx, state, a, v, index_k, mask_k, fuse_softmax=False):
+    def _av_recompute(self, ctx, state, a, v, index_k, mask_k, fuse_softmax=False,
+                      rel=None):
         """A·V via state recompute (see ``recompute_av``): two elementwise
         selects + one dense matmul replace the gathered delta pipeline.
         With ``fuse_softmax`` the chain runs as ONE Pallas kernel over the
@@ -1472,8 +1528,25 @@ class EventfulBlock(EventfulMatmul1Block):
 
             interpret = jax.devices()[0].platform == "cpu"
             cov = coverage(index_k, mask_k, a.shape[-1], index_k.ndim + 1)
+            kw = {}
+            if rel is not None:
+                # rel-pos bias fused into the kernel; reference-parity
+                # counts as in RelativePositionEmbedding.apply's kernel path
+                q, derived = rel
+                ag = self.relative_position.attention_size
+                pg = self.relative_position._pooled_size()
+                kw = dict(
+                    q=q,
+                    y_rel=derived["y_relative"],
+                    x_rel=derived["x_relative"],
+                    a=ag,
+                    p=pg,
+                )
+                rows = a.size // a.shape[-1]
+                ctx.add("einsum_flops", float(rows * q.shape[-1] * (pg[0] + pg[1])))
+                ctx.add("add_flops", 2.0 * a.size)
             p_a, x = softmax_select_matmul(
-                a, state["matmul_gate"]["p"], cov, p_v, interpret=interpret
+                a, state["matmul_gate"]["p"], cov, p_v, interpret=interpret, **kw
             )
             state["matmul_gate"] = {"p": p_a}
         else:

@@ -163,25 +163,26 @@ class RelativePositionEmbedding(Module):
             ctx.add("einsum_flops", term.size * c)
         return terms
 
-    # Fused bias+add kernel (ops/pallas/relpos.py): True forces (interpret
-    # mode off-TPU, for tests); False = XLA flat-expander path. Default OFF:
-    # measured 2x SLOWER than the XLA path end-to-end (dense-672 27.5 vs
-    # 14.5 ms/frame) — the per-stripe loop serializes small matmuls where
-    # XLA overlaps the einsum/expander work; kept as a tested option and a
-    # record of the attempt.
+    # Fused bias+add kernel (ops/pallas/relpos.py):
+    #   "v2"   — the flat-layout row-block kernel (interpret off-TPU, for
+    #            tests). Default OFF after measurement: although the v2
+    #            kernel fixed the stripe kernel's serialization, it STILL
+    #            lost to the XLA paths end-to-end (dense-1024 44.7 -> 48.5
+    #            ms/frame) because XLA already fuses the bias ADD into the
+    #            softmax pass — a standalone bias kernel only adds a
+    #            materialization boundary. The production fusion home for
+    #            the bias is inside the A·V kernel (ops/pallas/av_softmax),
+    #            which already sits at that boundary.
+    #   True   — force the original stripe kernel (first recorded negative
+    #            result: its per-stripe python loop serialized small
+    #            matmuls, 2x slower than XLA end-to-end);
+    #   "auto"/False — the XLA flat-expander / einsum paths (production).
     use_pallas_kernel = False
 
     def _use_kernel(self):
-        if self.use_pallas_kernel is True:
-            return True
-        if self.use_pallas_kernel != "auto":
-            return False
-        try:
-            import jax
-
-            return jax.devices()[0].platform not in ("cpu",)
-        except Exception:
-            return False
+        if self.use_pallas_kernel in (True, "v2"):
+            return "v2" if self.use_pallas_kernel == "v2" else "v1"
+        return False
 
     # Flat-matmul bias path (see apply): "auto" enables on TPU for small
     # per-axis tables; True forces (for parity tests off-TPU); False always
@@ -234,15 +235,20 @@ class RelativePositionEmbedding(Module):
         dtype = x.dtype
         c = q.shape[-1]
         n, np_ = prod(a), prod(p)
-        if self._use_kernel() and x.ndim == 4 and x.shape[-2] == n:
+        kernel = self._use_kernel()
+        if kernel and x.ndim == 4 and x.shape[-2] == n:
             import jax
 
-            from eventful_transformer_tpu.ops.pallas.relpos import relpos_bias_add
+            from eventful_transformer_tpu.ops.pallas.relpos import (
+                relpos_bias_add,
+                relpos_bias_add_v2,
+            )
 
+            fn = relpos_bias_add_v2 if kernel == "v2" else relpos_bias_add
             # reference-parity counts: two term einsums + two adds
             ctx.add("einsum_flops", 2 * x.shape[0] * x.shape[1] * n * c * (p[0] + p[1]) / 2)
             ctx.add("add_flops", 2 * x.size)
-            return relpos_bias_add(
+            return fn(
                 x, q, derived["y_relative"], derived["x_relative"], a=a, p=p,
                 interpret=jax.devices()[0].platform == "cpu",
             )

@@ -1,4 +1,4 @@
-"""Fused softmax -> stale-column select -> A·V matmul for EventfulBlock.
+"""Fused (rel-pos bias ->) softmax -> stale-column select -> A·V matmul.
 
 With ``recompute_av`` (core/blocks.py) the eventful A·V product is
 ``p_a' @ p_v'`` where ``p_a' = where(cov, softmax(logits), p_a)`` keeps
@@ -15,8 +15,19 @@ in VMEM — the softmax activations never exist in HBM. Softmax is computed
 in f32 (max-subtracted, as jax.nn.softmax) and rounded to the state dtype;
 the matmul accumulates f32 on the MXU.
 
-Semantics: exactly ``select_cols(p_a, softmax(logits), index, mask)`` and
-the subsequent matmul (parity-tested in tests/test_pallas.py). The grid
+When ``q`` and the decomposed rel-pos tables are passed, the bias is also
+computed in-kernel and added to the logits before the softmax — the right
+fusion home for the bias: a STANDALONE bias kernel only adds an HBM
+materialization boundary (measured: dense-1024 44.7 -> 48.5 ms/frame,
+because XLA fuses the plain bias ADD into the softmax pass anyway), whereas
+here the logits already stop at this kernel. The bias math follows the
+flat-expander formulation (core/embeddings.py): the row block covers whole
+query rows, so each grid instance contracts q against its OWN y-table slice
+and the shared x table, then exact 0/1 mask/collapse/expand matmuls built
+from iotas assemble the (bn, Np) bias without it ever leaving VMEM.
+
+Semantics: exactly ``select_cols(p_a, softmax(rel(logits)), index, mask)``
+and the subsequent matmul (parity-tested in tests/test_pallas.py). The grid
 blocks over (batch*heads, N); cov broadcasts per batch element across heads
 and rows.
 """
@@ -31,49 +42,148 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(logits_ref, p_ref, cov_ref, v_ref, p_out, y_out):
-    l32 = logits_ref[0, 0].astype(jnp.float32)  # (bn, Np)
-    m = jnp.max(l32, axis=-1, keepdims=True)
-    e = jnp.exp(l32 - m)
-    a = e / jnp.sum(e, axis=-1, keepdims=True)
-    covr = cov_ref[0, 0] > 0  # (Np,)
-    p_new = jnp.where(covr[None, :], a.astype(p_ref.dtype), p_ref[0, 0])
-    p_out[0, 0] = p_new
-    y_out[0, 0] = jax.lax.dot_general(
-        p_new, v_ref[0, 0],
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _bias_block(q, yk, xr, r, a1, p0, p1, np_):
+    """Decomposed rel-pos bias for a block of r whole query rows: q (bn, c),
+    yk (r*p0, c) this block's y-table slice, xr (a1*p1, c). Returns (bn, Np)
+    f32. All matmuls f32-accumulated; the mask/collapse/expand matmuls are
+    exact single-nonzero copies."""
+    bn = r * a1
+    rp0, xp = r * p0, a1 * p1
+    f32 = jnp.float32
+    rows = _iota2((bn, 1), 0)
+    ly = rows // a1
+    lx = rows % a1
+    full_y = jax.lax.dot_general(
+        q, yk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (bn, r*p0)
+    mask_y = ly == _iota2((bn, rp0), 1) // p0
+    ky = (_iota2((rp0, p0), 0) % p0 == _iota2((rp0, p0), 1)).astype(f32)
+    term_y = jax.lax.dot_general(
+        jnp.where(mask_y, full_y, 0.0), ky,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(y_out.dtype)
+        preferred_element_type=f32,
+    )  # (bn, p0)
+    full_x = jax.lax.dot_general(
+        q, xr, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (bn, a1*p1)
+    mask_x = lx == _iota2((bn, xp), 1) // p1
+    kx = (_iota2((xp, p1), 0) % p1 == _iota2((xp, p1), 1)).astype(f32)
+    term_x = jax.lax.dot_general(
+        jnp.where(mask_x, full_x, 0.0), kx,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (bn, p1)
+    ey = (_iota2((p0, np_), 0) == _iota2((p0, np_), 1) // p1).astype(f32)
+    ex = (_iota2((p1, np_), 0) == _iota2((p1, np_), 1) % p1).astype(f32)
+    return jax.lax.dot_general(
+        term_y, ey, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        term_x, ex, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
 
 
-@partial(jax.jit, static_argnames=("block_n", "interpret"))
-def softmax_select_matmul(logits, p_a, cov, p_v, *, block_n=512, interpret=False):
-    """logits (B, H, N, Np) pre-softmax attention logits (rel-pos applied);
-    p_a (B, H, N, Np) stale attention state; cov (B, Np) column selection
-    coverage (>0 = refresh); p_v (B, H, Np, d) updated value state.
+def _make_kernel(with_bias, r, a1, p0, p1, np_):
+    def kernel(*refs):
+        if with_bias:
+            (logits_ref, p_ref, cov_ref, v_ref, q_ref, yk_ref, xr_ref,
+             p_out, y_out) = refs
+        else:
+            logits_ref, p_ref, cov_ref, v_ref, p_out, y_out = refs
+        l32 = logits_ref[0, 0].astype(jnp.float32)  # (bn, Np)
+        if with_bias:
+            l32 = l32 + _bias_block(
+                q_ref[0, 0], yk_ref[...], xr_ref[...], r, a1, p0, p1, np_
+            )
+        m = jnp.max(l32, axis=-1, keepdims=True)
+        e = jnp.exp(l32 - m)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        covr = cov_ref[0, 0] > 0  # (Np,)
+        p_new = jnp.where(covr[None, :], a.astype(p_ref.dtype), p_ref[0, 0])
+        p_out[0, 0] = p_new
+        y_out[0, 0] = jax.lax.dot_general(
+            p_new, v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y_out.dtype)
 
-    Returns (p_a', out) with p_a' = where(cov, softmax(logits), p_a) and
-    out = p_a' @ p_v.
+    return kernel
+
+
+def row_block(a0, a1, cap=512):
+    """Largest divisor r of a0 with r*a1 <= cap and r*a1 a multiple of the
+    8-sublane tile; 0 if none exists (caller falls back to XLA bias)."""
+    r = max(1, min(a0, cap // a1))
+    while r > 1 and (a0 % r or (r * a1) % 8):
+        r -= 1
+    if a0 % r or (r * a1) % 8:
+        return 0
+    return r
+
+
+@partial(jax.jit, static_argnames=("a", "p", "block_n", "interpret"))
+def softmax_select_matmul(
+    logits, p_a, cov, p_v, q=None, y_rel=None, x_rel=None, *,
+    a=None, p=None, block_n=512, interpret=False,
+):
+    """logits (B, H, N, Np) pre-softmax attention logits; p_a (B, H, N, Np)
+    stale attention state; cov (B, Np) column selection coverage (>0 =
+    refresh); p_v (B, H, Np, d) updated value state. Optional fused rel-pos
+    bias: q (B, H, N, c), y_rel (a0, p0, c), x_rel (a1, p1, c) with
+    a = (a0, a1) query grid, p = (p0, p1) pooled key grid.
+
+    Returns (p_a', out) with p_a' = where(cov, softmax(logits + bias), p_a)
+    and out = p_a' @ p_v.
     """
     b, h, n, np_ = logits.shape
     d = p_v.shape[-1]
-    block_n = min(block_n, n)
-    grid = (b * h, pl.cdiv(n, block_n))
+    with_bias = q is not None
+    if with_bias:
+        a0, a1 = a
+        p0, p1 = p
+        r = row_block(a0, a1, block_n)
+        assert r, (a, "no tile-legal row block; compute the bias in XLA")
+        bn = r * a1
+    else:
+        r = a1 = p0 = p1 = 0
+        bn = min(block_n, n)
+    grid = (b * h, pl.cdiv(n, bn))
     row = lambda i, j: (i // h, i % h, j, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, bn, np_), row),
+        pl.BlockSpec((1, 1, bn, np_), row),
+        pl.BlockSpec((1, 1, np_), lambda i, j: (i // h, 0, 0)),
+        pl.BlockSpec((1, 1, np_, d), lambda i, j: (i // h, i % h, 0, 0)),
+    ]
+    args = [logits, p_a, cov.reshape(b, 1, np_).astype(jnp.float32), p_v]
+    if with_bias:
+        c = q.shape[-1]
+        in_specs += [
+            pl.BlockSpec((1, 1, bn, c), row),
+            pl.BlockSpec((r * p0, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((a1 * p1, c), lambda i, j: (0, 0)),
+        ]
+        args += [
+            q,
+            y_rel.reshape(a0 * p0, c).astype(logits.dtype),
+            x_rel.reshape(a1 * p1, c).astype(logits.dtype),
+        ]
     outs = pl.pallas_call(
-        _kernel,
+        _make_kernel(with_bias, r, a1, p0, p1, np_),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, block_n, np_), row),
-                pl.BlockSpec((1, 1, block_n, np_), row),
-                pl.BlockSpec((1, 1, np_), lambda i, j: (i // h, 0, 0)),
-                pl.BlockSpec((1, 1, np_, d), lambda i, j: (i // h, i % h, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, 1, block_n, np_), row),
-                pl.BlockSpec((1, 1, block_n, d), row),
+                pl.BlockSpec((1, 1, bn, np_), row),
+                pl.BlockSpec((1, 1, bn, d), row),
             ),
         ),
         out_shape=(
@@ -84,5 +194,5 @@ def softmax_select_matmul(logits, p_a, cov, p_v, *, block_n=512, interpret=False
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(logits, p_a, cov.reshape(b, 1, np_).astype(jnp.float32), p_v)
+    )(*args)
     return outs

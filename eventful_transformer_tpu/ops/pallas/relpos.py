@@ -106,3 +106,146 @@ def relpos_bias_add(x, q, y_rel, x_rel, *, a, p, interpret=False):
         interpret=interpret,
     )(x5, q5, y_rel.astype(dtype), x_rel.astype(dtype), e)
     return out.reshape(bsz, heads, n, np_)
+
+
+# ---------------------------------------------------------------------------
+# v2: flat-layout row-block kernel (the production path).
+#
+# The stripe kernel above serializes a python loop of small per-stripe
+# matmuls and blocks on 5-D views whose minor dims (a1 = 14/42/64) pad badly
+# to the vector tile — measured 2x slower than XLA end-to-end. v2 fixes both
+# structurally:
+#   * operands stay in the flat, well-tiled (B*H, N, Np) layout; the grid
+#     covers (head-chunks, row-blocks of r whole query rows);
+#   * ALL work is 2-D MXU matmuls: q_blk against the block's OWN y-table
+#     slice (r*p0 rows — the only part of the y table its tokens can touch)
+#     and the shared x table, then exact 0/1 mask/collapse/expand matmuls
+#     built from iotas in VMEM.
+# HBM traffic = read x, q once, write x' once; the bias tensor never exists
+# in HBM. Terms accumulate in f32 and round once to the working dtype.
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _make_kernel_v2(m, bn, r, a1, p0, p1, np_):
+    rp0 = r * p0
+    xp = a1 * p1
+
+    def kernel(x_ref, q_ref, yk_ref, xr_ref, out_ref):
+        # Same dtype trajectory as the XLA flat path (embeddings._flat_terms):
+        # every matmul outputs the WORKING dtype; the mask/collapse/expand
+        # matmuls are exact single-nonzero row copies at any precision, so
+        # DEFAULT is exact in bf16 and only f32 operands need HIGHEST
+        # (DEFAULT would run them through quantizing bf16 MXU passes).
+        c = q_ref.shape[-1]
+        dt = x_ref.dtype
+        copy_prec = (
+            jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+        )
+        q = q_ref[...].reshape(m * bn, c)
+        rows = _iota2((m * bn, 1), 0) % bn
+        ly = rows // a1  # local query-y within the block (0..r-1)
+        lx = rows % a1  # query-x
+        f32 = jnp.float32
+        full_y = jax.lax.dot_general(
+            q, yk_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt)  # (m*bn, r*p0)
+        mask_y = ly == _iota2((m * bn, rp0), 1) // p0
+        ky = (_iota2((rp0, p0), 0) % p0 == _iota2((rp0, p0), 1)).astype(dt)
+        term_y = jax.lax.dot_general(
+            jnp.where(mask_y, full_y, jnp.zeros((), dt)), ky,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=copy_prec,
+        ).astype(dt)  # (m*bn, p0)
+        full_x = jax.lax.dot_general(
+            q, xr_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt)  # (m*bn, a1*p1)
+        mask_x = lx == _iota2((m * bn, xp), 1) // p1
+        kx = (_iota2((xp, p1), 0) % p1 == _iota2((xp, p1), 1)).astype(dt)
+        term_x = jax.lax.dot_general(
+            jnp.where(mask_x, full_x, jnp.zeros((), dt)), kx,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=copy_prec,
+        ).astype(dt)  # (m*bn, p1)
+        ey = (_iota2((p0, np_), 0) == _iota2((p0, np_), 1) // p1).astype(dt)
+        ex = (_iota2((p1, np_), 0) == _iota2((p1, np_), 1) % p1).astype(dt)
+        t = jax.lax.dot_general(
+            term_y, ey, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=copy_prec,
+        ).astype(dt) + jax.lax.dot_general(
+            term_x, ex, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=copy_prec,
+        ).astype(dt)
+        out_ref[...] = x_ref[...] + t.reshape(m, bn, np_)
+
+    return kernel
+
+
+def _row_block(a0, a1, cap=512):
+    """Largest divisor r of a0 with r*a1 <= cap AND r*a1 a multiple of the
+    8-sublane tile (Mosaic block constraint); falls back to r = a0 (whole-N
+    blocks — always legal since the block then equals the array dim; the
+    full per-axis tables are only a few hundred KB)."""
+    r = max(1, min(a0, cap // a1))
+    while r > 1 and (a0 % r or (r * a1) % 8):
+        r -= 1
+    if a0 % r or (r * a1) % 8:
+        return a0
+    return r
+
+
+@partial(jax.jit, static_argnames=("a", "p", "interpret"))
+def relpos_bias_add_v2(x, q, y_rel, x_rel, *, a, p, interpret=False):
+    """x (B, H, N, Np) attention logits; q (B, H, N, c); y_rel (a0, p0, c);
+    x_rel (a1, p1, c). Returns x + decomposed relative-position bias.
+    See the v2 design note above."""
+    bsz, heads, n, np_ = x.shape
+    a0, a1 = a
+    p0, p1 = p
+    c = q.shape[-1]
+    assert n == a0 * a1 and np_ == p0 * p1, (x.shape, a, p)
+    dtype = x.dtype
+    bh = bsz * heads
+    r = _row_block(a0, a1)
+    bn = r * a1
+    # head-chunk size: keep the f32 full_y/full_x intermediates and the x
+    # slab small
+    slab = bn * max(np_ * x.dtype.itemsize, a1 * p1 * 4, r * p0 * 4)
+    m = max(1, (2 * 2**20) // max(slab, 1))
+    m = min(m, bh)
+    while bh % m:
+        m -= 1
+    x3 = x.reshape(bh, n, np_)
+    q3 = q.reshape(bh, n, c)
+    y_flat = y_rel.reshape(a0 * p0, c).astype(dtype)
+    x_flat = x_rel.reshape(a1 * p1, c).astype(dtype)
+    grid = (bh // m, a0 // r)
+    out = pl.pallas_call(
+        _make_kernel_v2(m, bn, r, a1, p0, p1, np_),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m, bn, np_), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((m, bn, c), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((r * p0, c), lambda i, j: (j, 0)),
+                pl.BlockSpec((a1 * p1, c), lambda i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, bn, np_), lambda i, j: (i, j, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n, np_), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3, q3, y_flat, x_flat)
+    return out.reshape(bsz, heads, n, np_)

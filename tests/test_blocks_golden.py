@@ -263,6 +263,17 @@ class TestPositionEmbeddingsGolden:
         ca, cb = Counts.from_device(ctx_a.counts), Counts.from_device(ctx_b.counts)
         for key in ca:
             assert cb[key] == pytest.approx(ca[key], rel=1e-6), key
+        # the v2 flat-layout row-block kernel (the production TPU path)
+        ours.use_pallas_kernel = "v2"
+        ctx_v2 = Ctx(count_mode=True)
+        ker2 = ours.apply(ctx_v2, params, jnp.asarray(x), jnp.asarray(q))
+        np.testing.assert_allclose(np.asarray(ker2), want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ker2), np.asarray(xla), rtol=1e-5, atol=1e-6
+        )
+        cv2 = Counts.from_device(ctx_v2.counts)
+        for key in ca:
+            assert cv2[key] == pytest.approx(ca[key], rel=1e-6), key
         # the flat-matmul bias path (the TPU layout fix: dense q @ tableᵀ +
         # exact masked-collapse matmuls, no 5-D views), with count parity
         ours.use_pallas_kernel = False

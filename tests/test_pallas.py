@@ -353,3 +353,46 @@ def test_av_softmax_kernel_matches_unfused():
         )
     for key in counts_a:
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_av_softmax_kernel_fused_relpos_bias():
+    """A-V kernel with the rel-pos bias computed in-kernel == the unfused
+    chain (XLA bias -> softmax -> select -> matmul), counts included."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(13)
+    B, n, C = 2, 32, 64
+    kwargs = dict(
+        dim=C, heads=4, mlp_ratio=2, input_size=(4, 8), pool_size=2,
+        relative_embedding_size=[4, 8],
+    )
+    blk_a = EventfulBlock(**kwargs)
+    blk_b = EventfulBlock(**kwargs)
+    policy = TokenNormTopK(k=9)
+    for blk, use_kernel in ((blk_a, False), (blk_b, True)):
+        blk.av_kernel = use_kernel
+        blk.fused_gates = False
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    params["relative_position"] = {
+        k: jnp.asarray(rng.standard_normal(v.shape).astype(np.float32)) * 0.1
+        for k, v in params["relative_position"].items()
+    }
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key

@@ -142,3 +142,61 @@ class TestDataParallelEval:
         assert got["metrics"] == want["metrics"]
         # Counts include padded duplicates in the final group; check keys only.
         assert set(got["counts"]) == set(want["counts"])
+
+
+class TestUlyssesBackbone:
+    """Sequence-parallel (Ulysses) attention wired into the backbone via the
+    ``sequence_parallel`` block-config option: tokens stay sharded through
+    every token-wise op; the two all-to-alls inside Block._attention_ulysses
+    trade tokens for heads so attention is exact."""
+
+    def test_sequence_parallel_matches_single_device(self, devices, rng):
+        from jax.sharding import Mesh
+
+        from eventful_transformer_tpu.core.backbones import ViTBackbone
+
+        def build(sp):
+            cfg = dict(dim=32, heads=4, mlp_ratio=2)
+            if sp:
+                cfg["sequence_parallel"] = "seq"
+            return ViTBackbone(
+                block_config=cfg, depth=2,
+                position_encoding_size=[4, 8], input_size=(4, 8),
+            )
+
+        ref = build(False)
+        spb = build(True)
+        params = ref.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((2, 32, 32)).astype(np.float32))
+        want, _ = ref.apply(Ctx(), params, ref.init_state(2), x)
+
+        mesh = Mesh(np.array(devices[:4]), ("seq",))
+        aux = spb.precompute(params)
+
+        def local(p, a, xs):
+            y, _ = spb.apply(Ctx(), p, spb.init_state(2), xs, aux=a)
+            return y
+
+        param_spec = jax.tree_util.tree_map(lambda _: P(), params)
+        aux_spec = jax.tree_util.tree_map(lambda _: P(None, "seq", None), aux)
+        shard = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(param_spec, aux_spec, P(None, "seq", None)),
+                out_specs=P(None, "seq", None),
+            )
+        )
+        got = shard(params, aux, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_incompatible_options_rejected(self):
+        from eventful_transformer_tpu.core.blocks import Block
+
+        with pytest.raises(AssertionError):
+            Block(
+                dim=32, heads=4, mlp_ratio=2, input_size=(4, 8),
+                window_size=[2, 2], sequence_parallel="seq",
+            )
