@@ -58,13 +58,55 @@ def make_vivit_step(model, params, count_mode=True):
     return lambda views: step(params, views)
 
 
+def make_bucketed_vivit_step(model, params, config):
+    """Capacity-bucketed per-VIDEO dispatch for threshold-policy ViViT eval
+    (utils/bucketing.py, here at video granularity: ``apply_views`` builds
+    fresh state per call, so an escalating re-run of the whole video is
+    exact by construction). Returns None unless the current sweep entry is
+    a threshold policy and ``bucket_capacities`` is configured."""
+    from eventful_transformer_tpu.core.gating import TokenGate
+    from eventful_transformer_tpu.utils.bucketing import BucketedThresholdStep
+
+    buckets = config.get("bucket_capacities")
+    gates = model.modules_of_type(TokenGate)
+    policy = gates[0].policy if gates else None
+    if not (buckets and isinstance(policy, TokenNormThreshold)):
+        return None
+
+    def build_step(_capacity=None):
+        @jax.jit
+        def jitted(p, views):
+            ctx = Ctx(count_mode=True)
+            out = model.apply_views(ctx, p, views)
+            return out, ctx.counts
+
+        def step(state, views):
+            out, counts = jitted(params, views)
+            return out, state, counts
+
+        return step
+
+    dispatcher = BucketedThresholdStep(
+        model, build_step, policy.threshold, buckets
+    )
+
+    def step(views):
+        out, _, counts = dispatcher(None, views)
+        return out, counts
+
+    step.dispatcher = dispatcher
+    return step
+
+
 def evaluate_vivit_metrics(model, params, data, config):
     """Top-1/top-5 + per-item counts over a video classification dataset
     (reference utils/evaluate.py:22-39). State resets per video by
     construction: each ``apply_views`` builds fresh state."""
     top_1 = TopKAccuracy(k=1)
     top_5 = TopKAccuracy(k=5)
-    step = make_vivit_step(model, params)
+    step = make_bucketed_vivit_step(model, params, config) or make_vivit_step(
+        model, params
+    )
     n_items = config.get("n_items") or len(data)
     n_items = min(n_items, len(data))
     total_counts = Counts()

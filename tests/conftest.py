@@ -60,6 +60,7 @@ SLOW_TESTS = (
     "test_detection.py::TestMaskHead::test_cascade_with_mask_end_to_end",
     "test_train.py::TestCheckpointResume::test_full_state_roundtrip",
     "test_bucketing.py::TestBucketedThreshold::test_exact_and_escalating",
+    "test_harness.py::TestBucketedViViTEval",
 )
 
 

@@ -203,3 +203,33 @@ class TestEvaluation:
         assert (c / 2)["b"] == 2.0
         assert c.csv_header() == "a,b"
         assert (c - Counts({"a": 1.0}))["a"] == 1.0
+
+
+class TestBucketedViViTEval:
+    def test_threshold_bucketing_exact_through_run_evaluations(self, tmp_path):
+        """`bucket_capacities` routes the ViViT threshold sweep through the
+        capacity-bucketed dispatcher (escalating per-video re-runs, exact by
+        construction): metrics match the unbucketed full-capacity run."""
+        data = SyntheticVideoClassification(n_items=2, n_frames=20, size=(40, 48))
+        base = {
+            "model": dict(
+                TINY_MODEL,
+                spatial_config=dict(
+                    TINY_MODEL["spatial_config"], block_class="EventfulBlock"
+                ),
+            ),
+            "token_thresholds": [1.0],
+            "n_items": 2,
+        }
+        full = dict(base, _output=str(tmp_path / "full"))
+        run_evaluations(full, FactorizedViViT, data, evaluate_vivit_metrics)
+        bucketed = dict(
+            base,
+            _output=str(tmp_path / "bucketed"),
+            bucket_capacities=[4, 8, 17],  # 17 = n_tokens (4x4 grid + class)
+        )
+        run_evaluations(bucketed, FactorizedViViT, data, evaluate_vivit_metrics)
+        for name in ("metrics.csv", "counts.csv"):
+            a = (tmp_path / "full" / name).read_text()
+            b = (tmp_path / "bucketed" / name).read_text()
+            assert a == b, name
