@@ -272,21 +272,27 @@ def bench_vitdet_e2e(args, size):
         )
         frames = jnp.asarray(
             rng.random((frames_per_call, 1, 3, size, size), dtype=np.float32)
-        )
+        ).astype(dtype)
 
-        def fwd(p, state, fr):
+        def fwd(p, state, fr, mode=None):
             aux = model.precompute(p)
 
             def body(carry, frame):
-                out, s = model.apply(Ctx(), p, carry, frame, aux)
+                out, s = model.apply(Ctx(), p, carry, frame, aux, mode=mode)
                 return s, scalar_probe(out)
 
             state, probes = jax.lax.scan(body, state, fr)
             return state, jnp.sum(probes)
 
-        jit_fwd = jax.jit(fwd)
+        # Static flush-then-incremental split (frame 0 of a video always
+        # flushes): no per-block lax.cond in the steady-state loop.
+        jit_fwd = jax.jit(
+            partial(fwd, mode="incremental" if eventful else None)
+        )
         state = model.init_state(1, dtype)
-        state, probe = jit_fwd(params, state, frames[:1])  # flush
+        state, probe = jax.jit(partial(fwd, mode="flush" if eventful else None))(
+            params, state, frames[:1]
+        )
         float(probe)
         return jit_fwd, params, state, frames
 

@@ -899,19 +899,35 @@ class EventfulTokenwiseBlock(Block):
             )
         else:  # "pre" / "none": error in the input domain
             norms = jnp.linalg.norm((x - p).astype(jnp.float32), axis=-1)
-        index, mask = gate.policy.select_from_norms(norms, ctx)
         n = x.shape[-2]
-        if mask is None:
-            s_index = jnp.sort(index, axis=-1)
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+        pol = gate.policy
+        if type(pol) is TokenNormTopK and not pol.save_status:
+            # Mask-free fixed-k: coverage comes from a compare against the
+            # k-th value of the SAME top_k call (exact tie handling,
+            # coverage_from_kth) — no (B, k, N) one-hot materialization.
+            k = pol.capacity(n)
+            values, index = jax.lax.top_k(norms, k)
+            from eventful_transformer_tpu.core.indexing import coverage_from_kth
+
+            s_index = jnp.sort(index.astype(jnp.int32), axis=-1)
             s_mask = None
+            cov = coverage_from_kth(norms, values[..., k - 1 : k], k)
         else:
-            # Sort with invalid slots keyed out-of-range so they land at the
-            # end; their gathered rows are never scattered (cov excludes).
-            key = jnp.where(mask, index, n)
-            s_key = jnp.sort(key, axis=-1)
-            s_mask = s_key < n
-            s_index = jnp.where(s_mask, s_key, 0).astype(jnp.int32)
-        cov = coverage(s_index, s_mask, n, s_index.ndim + 1)  # (B, N)
+            index, mask = pol.select_from_norms(norms, ctx)
+            if mask is None:
+                s_index = jnp.sort(index, axis=-1)
+                s_mask = None
+            else:
+                # Sort with invalid slots keyed out-of-range so they land at
+                # the end; their gathered rows are never scattered (cov
+                # excludes them).
+                key = jnp.where(mask, index, n)
+                s_key = jnp.sort(key, axis=-1)
+                s_mask = s_key < n
+                s_index = jnp.where(s_mask, s_key, 0).astype(jnp.int32)
+            cov = coverage(s_index, s_mask, n, s_index.ndim + 1)  # (B, N)
         rank = jnp.cumsum(cov, axis=-1) - 1.0
         return s_index, s_mask, cov, rank, interpret
 
@@ -1275,7 +1291,7 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
         return x, ats_indices, state
 
     def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
-        a, v, state, _, _ = self._forward_matmul_1_incremental(
+        a, _, v, state, _, _ = self._forward_matmul_1_incremental(
             ctx, params, state, x, index, mask, aux
         )
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)

@@ -188,6 +188,13 @@ def coverage_from_norms(norms, k):
     if k >= norms.shape[-1]:
         return jnp.ones(norms.shape, jnp.float32)
     kth = jax.lax.top_k(norms, k)[0][..., k - 1 : k]  # (..., 1)
+    return coverage_from_kth(norms, kth, k)
+
+
+def coverage_from_kth(norms, kth, k):
+    """:func:`coverage_from_norms` given a precomputed k-th largest value
+    (..., 1) — for callers that already ran ``lax.top_k`` and hold its
+    values, avoiding a second sort."""
     gt = norms > kth
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=-1, keepdims=True)
     eq = norms == kth

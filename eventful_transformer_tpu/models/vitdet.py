@@ -152,7 +152,11 @@ class ViTDetPreprocessing:
         self.std = jnp.asarray(normalize_std, jnp.float32).reshape(-1, 1, 1)
 
     def __call__(self, x, content_hw=None):
-        x = (x * 255.0 - self.mean) / self.std
+        # normalize in f32 but keep the caller's compute dtype (a bf16
+        # serving pipeline must not silently promote to f32 downstream)
+        x = ((x.astype(jnp.float32) * 255.0 - self.mean) / self.std).astype(
+            x.dtype
+        )
         c, h, w = self.input_shape
         pads = [(0, 0)] * (x.ndim - 2) + [(0, h - x.shape[-2]), (0, w - x.shape[-1])]
         x = jnp.pad(x, pads)
@@ -243,8 +247,10 @@ class ViTDet(Module):
         x = self.preprocessing(x, content_hw)
         return self.embedding.apply(ctx, params["embedding"], x)
 
-    def apply_backbone(self, ctx, params, state, tokens, aux=None):
-        return self.backbone.apply(ctx, params["backbone"], state, tokens, aux)
+    def apply_backbone(self, ctx, params, state, tokens, aux=None, mode=None):
+        return self.backbone.apply(
+            ctx, params["backbone"], state, tokens, aux, mode=mode
+        )
 
     def post_backbone(self, ctx, params, tokens):
         """tokens (B, N, dim) -> detections dict (fixed shapes + masks)."""
@@ -260,7 +266,12 @@ class ViTDet(Module):
             params["roi_heads"], features[:4], proposals, mask, image_size
         )
 
-    def apply(self, ctx, params, state, x, aux=None, content_hw=None):
+    def apply(self, ctx, params, state, x, aux=None, content_hw=None, mode=None):
+        """``mode``: static flush/incremental selection for eventful
+        backbones (see Block.apply) — per-video frame loops where frame 0
+        always flushes should pass it so the hot loop carries no per-block
+        lax.cond (profiled: the cond's state-buffer layout copies cost ~30%
+        of the eventful 672 backbone)."""
         tokens = self.pre_backbone(ctx, params, x, content_hw)
-        tokens, state = self.apply_backbone(ctx, params, state, tokens, aux)
+        tokens, state = self.apply_backbone(ctx, params, state, tokens, aux, mode=mode)
         return self.post_backbone(ctx, params, tokens), state

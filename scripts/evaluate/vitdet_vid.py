@@ -25,13 +25,26 @@ def evaluate_vitdet_metrics(model, params, data, config):
     c, in_h, in_w = model.input_shape
 
     def build_step(_capacity=None):
-        @jax.jit
-        def jitted(p, state, frame, content_hw):
-            ctx = Ctx(count_mode=True)
-            out, state = model.apply(ctx, p, state, frame, content_hw=content_hw)
-            return out, state, ctx.counts
+        # Two compiled programs per budget: frame 0 of each video flushes
+        # STATICALLY, the rest run incremental — no per-block
+        # flush/incremental lax.cond in the hot loop (its state-buffer
+        # layout copies cost ~30% of the eventful 672 backbone; see
+        # ViTDet.apply).
+        def make(mode):
+            @jax.jit
+            def jitted(p, state, frame, content_hw):
+                ctx = Ctx(count_mode=True)
+                out, state = model.apply(
+                    ctx, p, state, frame, content_hw=content_hw, mode=mode
+                )
+                return out, state, ctx.counts
 
-        return lambda state, frame, hw: jitted(params, state, frame, hw)
+            return jitted
+
+        flush, incremental = make("flush"), make("incremental")
+        return lambda state, frame, hw, first: (
+            flush if first else incremental
+        )(params, state, frame, hw)
 
     # Capacity-bucketed dispatch for threshold policies (exact via
     # saturation-triggered escalation, utils/bucketing.py); other policies
@@ -47,7 +60,7 @@ def evaluate_vitdet_metrics(model, params, data, config):
         step = BucketedThresholdStep(model, build_step, policy.threshold, buckets)
     else:
         fixed = build_step()
-        step = lambda state, frame, hw: fixed(state, frame, hw)
+        step = lambda state, frame, hw, first: fixed(state, frame, hw, first)
         step.reset = lambda: None
 
     total_counts = Counts()
@@ -66,7 +79,7 @@ def evaluate_vitdet_metrics(model, params, data, config):
             padded = np.zeros((1, c, in_h, in_w), np.float32)
             padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
             content_hw = np.asarray(frame.shape[-2:], np.int32)
-            out, state, counts = step(state, padded, content_hw)
+            out, state, counts = step(state, padded, content_hw, t == 0)
             mask = np.asarray(out["mask"])
             mean_ap.update(
                 [
