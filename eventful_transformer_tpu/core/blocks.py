@@ -223,10 +223,71 @@ class Block(Module):
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_2)
         return x, state
 
+    # Fused windowed attention kernel (ops/pallas/window_attention): "auto"
+    # enables on TPU at inference for windowed/no-pool/no-ATS/no-cast blocks
+    # (every ViTDet windowed block, dense AND eventful-tokenwise); True
+    # forces (interpret off-TPU, for parity tests).
+    fused_window_attention = "auto"
+
+    def _use_window_attention_kernel(self, ctx):
+        if (
+            self.window_size is None
+            or self.pool_size is not None
+            or self.ats_fraction is not None
+            or self.matmul_2_cast is not None
+        ):
+            return False
+        if self.fused_window_attention is True:
+            return True
+        # training needs gradients: pallas_call has no VJP here
+        if self.fused_window_attention != "auto" or ctx.training:
+            return False
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
+    def _window_attention_fused(self, ctx, params, x, aux):
+        """x (Bw, T, 3C) window-partitioned qkv -> (Bw, T, C); FLOP counts
+        mirror the XLA path's exactly (counted matmul-1/matmul-2 + the
+        flat-bias term einsums + the two bias adds)."""
+        from eventful_transformer_tpu.ops.pallas.window_attention import (
+            window_attention,
+        )
+
+        interpret = jax.devices()[0].platform == "cpu"
+        bw, t, _ = x.shape
+        d = self.dim // self.heads
+        if self.relative_position is not None:
+            rp = self.relative_position
+            derived = (aux.get("relative") if aux else None) or rp.precompute(
+                params["relative_position"]
+            )
+            p_sz = rp._pooled_size()
+            out = window_attention(
+                x, derived["y_relative"], derived["x_relative"],
+                heads=self.heads, scale=self.scale, a=rp.attention_size,
+                p=p_sz, interpret=interpret,
+            )
+            ctx.add(
+                "einsum_flops",
+                float(bw * self.heads * t * (p_sz[0] + p_sz[1]) * d),
+            )
+            ctx.add("add_flops", 2.0 * bw * self.heads * t * t)
+        else:
+            out = window_attention(
+                x, heads=self.heads, scale=self.scale, interpret=interpret
+            )
+        ctx.add("matmul_flops", 2.0 * bw * self.heads * t * t * d)
+        return out
+
     def _forward_attention(self, ctx, params, state, x, aux):
         if self.sequence_parallel is not None:
             return self._attention_ulysses(ctx, x), None, state
         x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
+        if self._use_window_attention_kernel(ctx):
+            x = self._window_attention_fused(ctx, params, x, aux)
+            return self._recombine_windows(x), None, state
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
         v = self._pool_tokens(v)

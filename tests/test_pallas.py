@@ -396,3 +396,91 @@ def test_av_softmax_kernel_fused_relpos_bias():
         )
     for key in counts_a:
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def _window_block_pair(block_cls, rng, relpos=True, **extra):
+    """Two identical windowed blocks, fused window-attention on/off."""
+    import jax
+
+    from eventful_transformer_tpu.core import blocks as blocks_mod
+
+    kwargs = dict(
+        dim=64, heads=4, mlp_ratio=2, input_size=(4, 6), window_size=(2, 3),
+        **extra,
+    )
+    if relpos:
+        kwargs["relative_embedding_size"] = [2, 3]
+    blk_a = getattr(blocks_mod, block_cls)(**kwargs)
+    blk_b = getattr(blocks_mod, block_cls)(**kwargs)
+    blk_a.fused_window_attention = False
+    blk_b.fused_window_attention = True
+    for blk in (blk_a, blk_b):
+        blk.fused_gates = False
+        blk.fused_dense_mlp = False
+    params = blk_a.init(jax.random.PRNGKey(0))
+    if relpos:
+        params["relative_position"] = {
+            k: jnp.asarray(rng.standard_normal(v.shape).astype(np.float32)) * 0.2
+            for k, v in params["relative_position"].items()
+        }
+    return blk_a, blk_b, params
+
+
+def test_window_attention_kernel_dense_relpos():
+    """Fused windowed attention (in-kernel rel-pos bias) == the XLA path
+    (partition heads -> matmul -> bias -> softmax -> matmul), dense Block,
+    values and counts."""
+    import jax
+
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    rng = np.random.default_rng(17)
+    blk_a, blk_b, params = _window_block_pair("Block", rng)
+    x = jnp.asarray(rng.standard_normal((2, 24, 64)).astype(np.float32)) * 0.5
+    ctx_a, ctx_b = Ctx(count_mode=True), Ctx(count_mode=True)
+    ya, _ = blk_a.apply(ctx_a, params, {}, x)
+    yb, _ = blk_b.apply(ctx_b, params, {}, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+    counts_a = Counts.from_device(ctx_a.counts)
+    counts_b = Counts.from_device(ctx_b.counts)
+    assert set(counts_a.keys()) == set(counts_b.keys())
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_window_attention_kernel_dense_no_relpos():
+    rng = np.random.default_rng(19)
+    from eventful_transformer_tpu.core.counting import Ctx
+
+    blk_a, blk_b, params = _window_block_pair("Block", rng, relpos=False)
+    x = jnp.asarray(rng.standard_normal((2, 24, 64)).astype(np.float32)) * 0.5
+    ya, _ = blk_a.apply(Ctx(), params, {}, x)
+    yb, _ = blk_b.apply(Ctx(), params, {}, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_kernel_eventful_tokenwise():
+    """Fused windowed attention under the eventful-tokenwise block: flush +
+    incremental steps stay value- and count-matched to the XLA path."""
+    import copy
+
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(23)
+    blk_a, blk_b, params = _window_block_pair("EventfulTokenwiseBlock", rng)
+    policy = TokenNormTopK(k=7)
+    for blk in (blk_a, blk_b):
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    x_seq = [
+        jnp.asarray(rng.standard_normal((2, 24, 64)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, 24)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, 24)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
