@@ -250,7 +250,10 @@ class Block(Module):
     def _window_attention_fused(self, ctx, params, x, aux):
         """x (Bw, T, 3C) window-partitioned qkv -> (Bw, T, C); FLOP counts
         mirror the XLA path's exactly (counted matmul-1/matmul-2 + the
-        flat-bias term einsums + the two bias adds)."""
+        flat-bias term einsums + the two bias adds). Partitioning stays in
+        XLA: the grid-stripe kernel variant that slices windows in VMEM
+        (window_attention_grid) measured SLOWER end-to-end — see its
+        docstring for the recorded negative result."""
         from eventful_transformer_tpu.ops.pallas.window_attention import (
             window_attention,
         )

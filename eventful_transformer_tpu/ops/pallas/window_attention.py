@@ -46,50 +46,96 @@ def _dot(a, b, trans_b=False):
     )
 
 
-def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1):
-    t = a0 * a1 if with_bias else None
+def _bias_operands(n, a0, a1, p0, p1):
+    """Head-independent rel-pos bias operands (built from iotas in VMEM).
+    mask_*: block-diagonal selectors of the q @ table^T products; k*/e*:
+    exact single-nonzero collapse/expand matrices (see
+    core/embeddings.py::_precompute_flat)."""
+    np_ = p0 * p1
+    rows = _iota2((n, 1), 0)
+    ly, lx = rows // a1, rows % a1
+    mask_y = ly == _iota2((n, a0 * p0), 1) // p0
+    mask_x = lx == _iota2((n, a1 * p1), 1) // p1
+    ky = (_iota2((a0 * p0, p0), 0) % p0 == _iota2((a0 * p0, p0), 1))
+    kx = (_iota2((a1 * p1, p1), 0) % p1 == _iota2((a1 * p1, p1), 1))
+    ey = _iota2((p0, np_), 0) == _iota2((p0, np_), 1) // p1
+    ex = _iota2((p1, np_), 0) == _iota2((p1, np_), 1) % p1
+    return (
+        mask_y, mask_x,
+        ky.astype(jnp.float32), kx.astype(jnp.float32),
+        ey.astype(jnp.float32), ex.astype(jnp.float32),
+    )
 
+
+def _attend(x, heads, head_dim, inv_scale, bias_ops, yk, xr, out_dtype):
+    """One window's attention: x (T, 3C) packed qkv rows -> (T, C)."""
+    c = heads * head_dim
+    outs = []
+    for h in range(heads):
+        q = x[:, h * head_dim:(h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, c + h * head_dim:c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+        logits = _dot(q * jnp.float32(inv_scale), k, trans_b=True)  # (T, T)
+        if bias_ops is not None:
+            mask_y, mask_x, ky, kx, ey, ex = bias_ops
+            term_y = _dot(jnp.where(mask_y, _dot(q, yk, trans_b=True), 0.0), ky)
+            term_x = _dot(jnp.where(mask_x, _dot(q, xr, trans_b=True), 0.0), kx)
+            logits = logits + _dot(term_y, ey) + _dot(term_x, ex)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        outs.append(_dot(attn, v).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1):
     def kernel(*refs):
         if with_bias:
             x_ref, yk_ref, xr_ref, out_ref = refs
         else:
             x_ref, out_ref = refs
         x = x_ref[0]  # (T, 3C)
-        c = heads * head_dim
         n = x.shape[0]
+        bias_ops = yk = xr = None
         if with_bias:
-            # Head-independent bias operands, hoisted out of the head loop.
-            # mask_*: block-diagonal selectors of the q @ table^T products;
-            # k*/e*: exact single-nonzero collapse/expand matrices (see
-            # core/embeddings.py::_precompute_flat).
-            np_ = p0 * p1
-            rows = _iota2((n, 1), 0)
-            ly, lx = rows // a1, rows % a1
-            mask_y = ly == _iota2((n, a0 * p0), 1) // p0
-            mask_x = lx == _iota2((n, a1 * p1), 1) // p1
-            ky = (_iota2((a0 * p0, p0), 0) % p0 == _iota2((a0 * p0, p0), 1))
-            kx = (_iota2((a1 * p1, p1), 0) % p1 == _iota2((a1 * p1, p1), 1))
-            ey = _iota2((p0, np_), 0) == _iota2((p0, np_), 1) // p1
-            ex = _iota2((p1, np_), 0) == _iota2((p1, np_), 1) % p1
-            ky, kx = ky.astype(jnp.float32), kx.astype(jnp.float32)
-            ey, ex = ey.astype(jnp.float32), ex.astype(jnp.float32)
+            bias_ops = _bias_operands(n, a0, a1, p0, p1)
             yk = yk_ref[...].astype(jnp.float32)  # (a0*p0, c)
             xr = xr_ref[...].astype(jnp.float32)  # (a1*p1, c)
-        outs = []
-        for h in range(heads):
-            q = x[:, h * head_dim:(h + 1) * head_dim].astype(jnp.float32)
-            k = x[:, c + h * head_dim:c + (h + 1) * head_dim].astype(jnp.float32)
-            v = x[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
-            logits = _dot(q * jnp.float32(inv_scale), k, trans_b=True)  # (T, T)
-            if with_bias:
-                term_y = _dot(jnp.where(mask_y, _dot(q, yk, trans_b=True), 0.0), ky)
-                term_x = _dot(jnp.where(mask_x, _dot(q, xr, trans_b=True), 0.0), kx)
-                logits = logits + _dot(term_y, ey) + _dot(term_x, ex)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-            outs.append(_dot(attn, v).astype(out_ref.dtype))
-        out_ref[0] = jnp.concatenate(outs, axis=-1)
+        out_ref[0] = _attend(
+            x, heads, head_dim, inv_scale, bias_ops, yk, xr, out_ref.dtype
+        )
+
+    return kernel
+
+
+def _make_grid_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
+                      n_wx):
+    """Row-stripe kernel: the block is one (wh, Wp, 3C) stripe of the padded
+    spatial map; each of its n_wx windows is sliced at a static lane-dim
+    offset in VMEM, attended, and written back to the same column range —
+    the (B*nw, T, C) window layout never exists in HBM."""
+    t = a0 * a1
+
+    def kernel(*refs):
+        if with_bias:
+            x_ref, yk_ref, xr_ref, out_ref = refs
+        else:
+            x_ref, out_ref = refs
+        stripe = x_ref[0]  # (wh, Wp, 3C)
+        bias_ops = yk = xr = None
+        if with_bias:
+            bias_ops = _bias_operands(t, a0, a1, p0, p1)
+            yk = yk_ref[...].astype(jnp.float32)
+            xr = xr_ref[...].astype(jnp.float32)
+        for wx in range(n_wx):
+            win = stripe[:, wx * a1:(wx + 1) * a1, :].reshape(t, -1)
+            out = _attend(
+                win, heads, head_dim, inv_scale, bias_ops, yk, xr,
+                out_ref.dtype,
+            )
+            out_ref[0, :, wx * a1:(wx + 1) * a1, :] = out.reshape(
+                a0, a1, heads * head_dim
+            )
 
     return kernel
 
@@ -139,6 +185,79 @@ def window_attention(
         out_shape=jax.ShapeDtypeStruct((bw, t, c), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "window", "a", "p", "interpret"),
+)
+def window_attention_grid(
+    x, y_rel=None, x_rel=None, *, heads, scale, window, a=None, p=None,
+    interpret=False,
+):
+    """Windowed attention WITHOUT HBM window partitioning: ``x`` is the
+    padded spatial qkv map (B, Hp, Wp, 3C) (Hp/Wp multiples of the window),
+    returned as the (B, Hp, Wp, C) attention output in the same layout. The
+    grid walks (batch, window-row) stripes; windows are sliced inside the
+    kernel, so the reshape->transpose->reshape window partition (and its
+    inverse) never happens in HBM.
+
+    MEASURED NEGATIVE RESULT (kept as a tested option): at ViTDet-672
+    shapes the in-VMEM strided window slices cost ~65 us/invocation more
+    than the XLA partition transposes they replace (417 vs 352 us per
+    block, loop-in-jit; full model 10.70 vs 10.17 ms/frame eventful). The
+    {2,0,1}-layout copies HLO attributes to the gate-kernel call site are
+    the partition transposes themselves surfacing as layout conversions on
+    the pallas output — work the XLA path does anyway, not removable
+    overhead. A per-window BlockSpec DMA variant (grid (B, nh, nw), block
+    (1, wh, ww, 3C)) does not lower: Pallas TPU requires the last-two
+    block dims divisible by (8, 128) or full, and wh=14 of 42 is neither.
+    ``Block`` therefore uses :func:`window_attention` over the XLA
+    partition. Semantics identical to ``window_attention`` over the
+    equivalent partition (reference blocks.py:262-287 + 205-246)."""
+    b, hp, wp, c3 = x.shape
+    c = c3 // 3
+    head_dim = c // heads
+    with_bias = y_rel is not None
+    if with_bias:
+        a0, a1 = a
+        p0, p1 = p if p is not None else a
+    else:
+        a0, a1 = window
+        p0, p1 = window
+    assert hp % a0 == 0 and wp % a1 == 0, (hp, wp, window)
+    n_wx = wp // a1
+    stripe = lambda i, j: (i, j, 0, 0)
+    if with_bias:
+        args = [
+            x,
+            y_rel.reshape(a0 * p0, head_dim).astype(x.dtype),
+            x_rel.reshape(a1 * p1, head_dim).astype(x.dtype),
+        ]
+        in_specs = [
+            pl.BlockSpec((1, a0, wp, c3), stripe),
+            pl.BlockSpec((a0 * p0, head_dim), lambda i, j: (0, 0)),
+            pl.BlockSpec((a1 * p1, head_dim), lambda i, j: (0, 0)),
+        ]
+    else:
+        args = [x]
+        in_specs = [pl.BlockSpec((1, a0, wp, c3), stripe)]
+    return pl.pallas_call(
+        _make_grid_kernel(
+            heads, head_dim, 1.0 / scale, with_bias, a0, a1, p0, p1, n_wx
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, hp // a0),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, a0, wp, c), stripe),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)

@@ -406,8 +406,8 @@ def _window_block_pair(block_cls, rng, relpos=True, **extra):
 
     kwargs = dict(
         dim=64, heads=4, mlp_ratio=2, input_size=(4, 6), window_size=(2, 3),
-        **extra,
     )
+    kwargs.update(extra)
     if relpos:
         kwargs["relative_embedding_size"] = [2, 3]
     blk_a = getattr(blocks_mod, block_cls)(**kwargs)
@@ -448,6 +448,30 @@ def test_window_attention_kernel_dense_relpos():
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
 
 
+def test_window_attention_kernel_dense_relpos_padded():
+    """Grid kernel with window padding (the ViTDet-1024 regime: input grid
+    not divisible by the window): padded tokens must equal qkv-bias rows and
+    the output must match the XLA partition path exactly."""
+    import jax
+
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    rng = np.random.default_rng(29)
+    blk_a, blk_b, params = _window_block_pair(
+        "Block", rng, input_size=(5, 7), window_size=(2, 3)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 35, 64)).astype(np.float32)) * 0.5
+    ctx_a, ctx_b = Ctx(count_mode=True), Ctx(count_mode=True)
+    ya, _ = blk_a.apply(ctx_a, params, {}, x)
+    yb, _ = blk_b.apply(ctx_b, params, {}, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+    counts_a = Counts.from_device(ctx_a.counts)
+    counts_b = Counts.from_device(ctx_b.counts)
+    assert set(counts_a.keys()) == set(counts_b.keys())
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
 def test_window_attention_kernel_dense_no_relpos():
     rng = np.random.default_rng(19)
     from eventful_transformer_tpu.core.counting import Ctx
@@ -457,6 +481,44 @@ def test_window_attention_kernel_dense_no_relpos():
     ya, _ = blk_a.apply(Ctx(), params, {}, x)
     yb, _ = blk_b.apply(Ctx(), params, {}, x)
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_grid_matches_partitioned():
+    """The (measured-slower, kept-as-option) grid-stripe variant slices
+    windows in VMEM; it must equal the partitioned kernel over the
+    equivalent XLA window partition."""
+    from eventful_transformer_tpu.ops.pallas.window_attention import (
+        window_attention,
+        window_attention_grid,
+    )
+
+    rng = np.random.default_rng(31)
+    b, hp, wp, c, heads = 2, 4, 6, 32, 4
+    wh, ww = 2, 3
+    scale = float(np.sqrt(c // heads))
+    x = jnp.asarray(rng.standard_normal((b, hp, wp, 3 * c)).astype(np.float32))
+    yr = jnp.asarray(rng.standard_normal((wh, wh, c // heads)).astype(np.float32))
+    xr = jnp.asarray(rng.standard_normal((ww, ww, c // heads)).astype(np.float32))
+    xp = x.reshape(b, hp // wh, wh, wp // ww, ww, 3 * c)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, 3 * c)
+    ref = window_attention(
+        xp, yr, xr, heads=heads, scale=scale, a=(wh, ww), p=(wh, ww),
+        interpret=True,
+    )
+    ref = ref.reshape(b, hp // wh, wp // ww, wh, ww, c)
+    ref = ref.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    out = window_attention_grid(
+        x, yr, xr, heads=heads, scale=scale, window=(wh, ww), a=(wh, ww),
+        p=(wh, ww), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    out2 = window_attention_grid(
+        x, heads=heads, scale=scale, window=(wh, ww), interpret=True
+    )
+    ref2 = window_attention(xp, heads=heads, scale=scale, interpret=True)
+    ref2 = ref2.reshape(b, hp // wh, wp // ww, wh, ww, c)
+    ref2 = ref2.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5, atol=1e-5)
 
 
 def test_window_attention_kernel_eventful_tokenwise():
