@@ -341,9 +341,12 @@ def main():
     )
     parser.add_argument("--vitdet-size", type=int, default=0,
         help="vitdet input size (672 or 1024); 0 = run both")
-    parser.add_argument("--vivit-unroll", type=int, default=1,
+    parser.add_argument("--vivit-unroll", type=int, default=16,
         help="frame-scan unroll for the vivit models (compile time grows "
-        "with unroll x the already-unrolled eventful block stack)")
+        "with unroll x the already-unrolled eventful block stack). Full "
+        "unroll (16 steps at the K400 point) + the static flush split it "
+        "auto-enables measured 46.7 vs 42.7 clips/s eventful over the "
+        "unroll=1 cond-dispatched scan (docs/PERF_NOTES.md round 3)")
     parser.add_argument("--unroll", type=int, default=0,
         help="frame-scan unroll factor for the vitdet workload; 0 = full "
         "unroll (measured: while-loop back-edge copies of the eventful "

@@ -24,13 +24,18 @@ import numpy as np
 from eventful_transformer_tpu.core import counting
 
 # Flush-then-scan for the per-view frame loop (static flush branch, no
-# per-block lax.cond in the scan). Measured 7% SLOWER than the single
-# cond-dispatched scan at ViViT scale (N=197, B=32: the cond's state copies
-# are cheap there and the split fragments XLA's program) — default off;
-# EVT_SPLIT_FLUSH=1 enables for A/B.
+# per-block lax.cond). Measured (docs/PERF_NOTES.md round 3, K400 point):
+# under a lax.scan (unroll=1) the split is ~7% SLOWER than cond dispatch
+# (it fragments the program; cond state copies are cheap at N=197), but
+# with the frame loop FULLY UNROLLED the split wins decisively — 46.7 vs
+# 43.5 clips/s eventful (cond+unroll), vs 42.7 (cond+scan): the cond's
+# per-block state double-buffering disappears and the flush frame inlines
+# as iteration 0. split_flush="auto" on FactorizedViViT applies the rule
+# (split iff the steady-state loop is fully unrolled); EVT_SPLIT_FLUSH=1/0
+# still force-overrides for A/B.
 import os as _os
 
-_SPLIT_FLUSH = _os.environ.get("EVT_SPLIT_FLUSH", "0") == "1"
+_SPLIT_FLUSH_ENV = _os.environ.get("EVT_SPLIT_FLUSH")
 from eventful_transformer_tpu.core.backbones import ViTBackbone
 from eventful_transformer_tpu.core.nn import (
     Dropout,
@@ -65,10 +70,41 @@ class TubeletEmbedding(Module):
             "bias": jax.random.uniform(k2, (self.dim,), jnp.float32, -scale, scale),
         }
 
+    # Strided-2D-conv lowering of the tubelet contraction: "auto" enables on
+    # TPU (the conv emitter beats the einsum's dilated-conv lowering 5.8 vs
+    # 13.2 ms per 32-clip step, docs/PERF_NOTES.md round 3); True forces
+    # (used by tests — it is plain XLA, valid on any backend); False keeps
+    # the einsum. A Pallas patchify+matmul kernel was tried and does not
+    # lower: Mosaic rejects every (t, c, th, tw)->row shape cast
+    # (unsupported vector relayouts).
+    conv_embed = "auto"
+
+    def _use_conv(self):
+        if isinstance(self.conv_embed, bool):
+            return self.conv_embed
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
     def apply(self, ctx, params, x):
         del ctx  # uncounted (reference models/vivit.py:169 note in SURVEY §2.2)
         b, t, c, h, w = x.shape
         tt, th, tw = self.tubelet_shape
+        if self._use_conv():
+            # (B*q, tt*C, H, W) 2D conv, kernel == stride: the (q, tt) and
+            # (tt, C) merges are free reshapes (adjacent row-major dims),
+            # and XLA's strided-conv emitter does the patch gather at ~2.3x
+            # the einsum lowering's effective bandwidth.
+            kernel = params["kernel"].astype(x.dtype).reshape(c, tt, th, tw, -1)
+            kr = jnp.transpose(kernel, (4, 1, 0, 2, 3)).reshape(-1, tt * c, th, tw)
+            xi = x.reshape(b * (t // tt), tt * c, h, w)
+            y = jax.lax.conv_general_dilated(
+                xi, kr, window_strides=(th, tw), padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NHWC"),
+            )
+            y = y.reshape(b, t // tt, (h // th) * (w // tw), -1)
+            return y + params["bias"].astype(x.dtype)
         x = x.reshape(b, t // tt, tt, c, h // th, th, w // tw, tw)
         # Contract the patch dims against the torch-Conv3d-ordered (C, t, h,
         # w) kernel directly: an einsum lets XLA feed the permutation into
@@ -245,6 +281,21 @@ class FactorizedViViT(Module):
     # moderate at ViViT scale; benchmarks override per measurement.
     frame_scan_unroll = 1
 
+    # Static flush/incremental split of the frame loop: "auto" splits iff
+    # the steady-state loop is fully unrolled (measured crossover, see the
+    # module-level note); True/False force. EVT_SPLIT_FLUSH overrides all.
+    split_flush = "auto"
+
+    def _split_flush(self, n_steady):
+        if _SPLIT_FLUSH_ENV is not None:
+            return _SPLIT_FLUSH_ENV == "1"
+        if isinstance(self.split_flush, bool):
+            return self.split_flush
+        unroll = self.frame_scan_unroll
+        return unroll is True or (
+            isinstance(unroll, int) and unroll >= n_steady
+        )
+
     # -- parameters -----------------------------------------------------------
 
     def init(self, key):
@@ -302,7 +353,7 @@ class FactorizedViViT(Module):
 
         frames = jnp.moveaxis(x, 1, 0)
         unroll = self.frame_scan_unroll
-        if _SPLIT_FLUSH:
+        if self._split_flush(frames.shape[0] - 1):
             # Flush-then-scan: frame 0 of each view always flushes (state is
             # fresh, utils/evaluate resets per video), so the branch is
             # STATIC — no per-block flush/incremental lax.cond in the scan.
