@@ -157,7 +157,7 @@ def bench_vitdet(args, size):
     from eventful_transformer_tpu.core.policies import TokenNormTopK
     from eventful_transformer_tpu.utils.timing import scalar_probe
 
-    streams, frames_per_call, k = 2, 16, 256
+    streams, frames_per_call, k = getattr(args, "streams", 2) or 2, 16, 256
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     n = (size // 16) ** 2
@@ -281,7 +281,13 @@ def bench_vitdet_e2e(args, size):
                 out, s = model.apply(Ctx(), p, carry, frame, aux, mode=mode)
                 return s, scalar_probe(out)
 
-            state, probes = jax.lax.scan(body, state, fr)
+            # Measured (round 3): at BATCH 1 the scan wins — full unroll
+            # made eventful 15.4 vs 14.2 ms/frame (the 1-stream state is
+            # small, so back-edge copies are cheap and unrolling only
+            # bloats the schedule). Opposite of the 2-stream backbone
+            # bench, where full unroll is worth ~1.5 ms/frame.
+            unroll = args.unroll if args.unroll > 0 else 1
+            state, probes = jax.lax.scan(body, state, fr, unroll=unroll)
             return state, jnp.sum(probes)
 
         # Static flush-then-incremental split (frame 0 of a video always
@@ -341,6 +347,9 @@ def main():
     )
     parser.add_argument("--vitdet-size", type=int, default=0,
         help="vitdet input size (672 or 1024); 0 = run both")
+    parser.add_argument("--streams", type=int, default=2,
+        help="independent video streams (batch) for the vitdet backbone "
+        "workload")
     parser.add_argument("--vivit-unroll", type=int, default=16,
         help="frame-scan unroll for the vivit models (compile time grows "
         "with unroll x the already-unrolled eventful block stack). Full "
@@ -403,6 +412,8 @@ def main():
             True, k, args.views, args.frames, args.size, block_class=args.block,
             fused=args.fused,
         )
+        dense_l.frame_scan_unroll = args.vivit_unroll
+        event_l.frame_scan_unroll = args.vivit_unroll
         d_step, d_args = _model_step(dense_l, one, args.dtype)
         e_step, e_args = _model_step(event_l, one, args.dtype)
         d_t, e_t = time_jitted_pair(d_step, d_args, e_step, e_args, iters=args.iters)

@@ -157,6 +157,8 @@ def main():
             block_class=args.block or "EventfulTokenwiseBlock",
             fused=args.fused,
         )
+        # match the bench defaults (full unroll -> auto static split)
+        model.frame_scan_unroll = 16
         from eventful_transformer_tpu.core.counting import Ctx
 
         params = model.init(jax.random.PRNGKey(0))
