@@ -45,9 +45,28 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_out):
 
 @partial(jax.jit, static_argnames=("block_n", "interpret"))
 def dense_mlp_residual(x, scale, bias, w1, b1, w2, b2, block_n=256, interpret=False):
-    """x (B, N, C) -> ln -> W1 -> gelu -> W2 -> + x, one HBM pass."""
+    """x (B, N, C) -> ln -> W1 -> gelu -> W2 -> + x, one HBM pass.
+
+    Row blocking: at BATCH 1 an exact tiling is required — at ViTDet N
+    (1764 = 4*441) every tiling leaves a tail block that is not a sublane
+    multiple (n % 8 == 4), and a batch-1 program combining that
+    partial-tail layout with the windowed-attention kernel reproducibly
+    faulted the TPU worker (round 3; fine at batch >= 2, fine in
+    isolation — an XLA/Mosaic interaction we avoid rather than depend
+    on). At batch >= 2 the 256-row blocking stays: whole-N blocks
+    measured +0.6 ms/frame on dense ViTDet-672 (grid (B, 1) loses the
+    row-block DMA/compute pipelining).
+    """
     bsz, n, c = x.shape
     h_dim = w1.shape[-1]
+    if bsz == 1 and n % block_n:
+        # largest exact multiple-of-8 tiling, else whole-N (the f32 hidden
+        # fits scoped VMEM for every batch-1 shape in the model zoo).
+        block_n = next(
+            (c_ for c_ in range(min(block_n, n), 7, -1)
+             if n % c_ == 0 and c_ % 8 == 0),
+            n,
+        )
     block_n = min(block_n, n)
     vec = lambda i, j: (0, 0)
     return pl.pallas_call(
