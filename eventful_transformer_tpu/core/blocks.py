@@ -247,7 +247,33 @@ class Block(Module):
         except Exception:
             return False
 
-    def _window_attention_fused(self, ctx, params, x, aux):
+    def _partition_windows_zero(self, ctx, params, x):
+        """Partition for the fused kernel: ZERO-pad the spatial map (a
+        cheap XLA pad the producer fuses into, vs. the full-bias-map
+        broadcast+set of _partition_windows that cost ~0.6 ms/frame at
+        ViTDet-1024) and hand the kernel the qkv-bias row + window
+        geometry so out-of-image tokens are substituted in-VMEM. Exact
+        same semantics (reference blocks.py:269-287)."""
+        p = self._compute_window_padding()
+        d = self.window_size
+        b, _, c = x.shape
+        h, w = self.input_size
+        x = x.reshape(b, h, w, c)
+        pad_bias, geom = None, None
+        if any(p):
+            x = jnp.pad(x, ((0, 0), (0, p[0]), (0, p[1]), (0, 0)))
+            pad_vec = self.qkv.apply_bias(
+                ctx, params["qkv"], jnp.zeros((1, 1, 1, c), x.dtype)
+            )
+            pad_bias = pad_vec.reshape(c)
+            geom = ((h + p[0]) // d[0], (w + p[1]) // d[1], h, w)
+            h, w = h + p[0], w + p[1]
+        x = x.reshape(b, h // d[0], d[0], w // d[1], d[1], c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(-1, d[0] * d[1], c), pad_bias, geom
+
+    def _window_attention_fused(self, ctx, params, x, aux, pad_bias=None,
+                                geom=None):
         """x (Bw, T, 3C) window-partitioned qkv -> (Bw, T, C); FLOP counts
         mirror the XLA path's exactly (counted matmul-1/matmul-2 + the
         flat-bias term einsums + the two bias adds). Partitioning stays in
@@ -268,9 +294,9 @@ class Block(Module):
             )
             p_sz = rp._pooled_size()
             out = window_attention(
-                x, derived["y_relative"], derived["x_relative"],
+                x, derived["y_relative"], derived["x_relative"], pad_bias,
                 heads=self.heads, scale=self.scale, a=rp.attention_size,
-                p=p_sz, interpret=interpret,
+                p=p_sz, geom=geom, interpret=interpret,
             )
             ctx.add(
                 "einsum_flops",
@@ -279,7 +305,8 @@ class Block(Module):
             ctx.add("add_flops", 2.0 * bw * self.heads * t * t)
         else:
             out = window_attention(
-                x, heads=self.heads, scale=self.scale, interpret=interpret
+                x, None, None, pad_bias, heads=self.heads, scale=self.scale,
+                a=tuple(self.window_size), geom=geom, interpret=interpret,
             )
         ctx.add("matmul_flops", 2.0 * bw * self.heads * t * t * d)
         return out
@@ -287,10 +314,11 @@ class Block(Module):
     def _forward_attention(self, ctx, params, state, x, aux):
         if self.sequence_parallel is not None:
             return self._attention_ulysses(ctx, x), None, state
-        x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         if self._use_window_attention_kernel(ctx):
-            x = self._window_attention_fused(ctx, params, x, aux)
+            x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
+            x = self._window_attention_fused(ctx, params, x, aux, pad_bias, geom)
             return self._recombine_windows(x), None, state
+        x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
         v = self._pool_tokens(v)
@@ -1380,12 +1408,31 @@ class EventfulMatmul1Block(EventfulTokenwiseBlock):
         return a, v, state, None, None
 
     def _forward_matmul_1_incremental(
-        self, ctx, params, state, x, index, mask, aux, softmax=True, bias=True
+        self, ctx, params, state, x, index, mask, aux, softmax=True, bias=True,
+        matmul=True,
     ):
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
         v = self._pool_tokens(v)
         index_k, mask_k = self._pool_index(index, mask)
+        if not matmul:
+            # matmul-1 fused into the A·V kernel (see _av_recompute): the
+            # logits never exist in HBM. Counts stay at the reference's two
+            # incremental matmuls (MatmulBuffer.incremental_recompute
+            # parity, modules.py:220-236).
+            assert self.recompute_product and softmax is False
+            d = q.shape[-1]
+            nq, np_ = q.shape[-2], k.shape[-2]
+            bh = q.size // (nq * d)
+            ctx.add(
+                "matmul_flops",
+                valid_fraction(mask) * float(bh * index.shape[-1] * np_ * d),
+            )
+            ctx.add(
+                "matmul_flops",
+                valid_fraction(mask_k) * float(bh * nq * index_k.shape[-1] * d),
+            )
+            return (q, k), q, v, state, index_k, mask_k
         if self.recompute_product:
             a = self.matmul_accumulator_1.incremental_recompute(
                 ctx, q / self.scale, jnp.swapaxes(k, -2, -1),
@@ -1509,6 +1556,12 @@ class EventfulBlock(EventfulMatmul1Block):
     # to the XLA softmax+select fusion chain — docs/PERF_NOTES.md round 3);
     # True forces (interpret off-TPU); False always unfused.
     av_kernel = "auto"
+    # Fuse matmul-1 (q·kT) into the A-V kernel so the (B, H, N, Np) logits
+    # never exist in HBM (~400 MB of pure traffic per global block-frame at
+    # ViTDet-1024). CPU-parity-tested (tests/test_pallas.py); default OFF
+    # pending TPU verification — the TPU worker went down mid-measurement
+    # and an unverified kernel must not gate the driver benchmark.
+    fuse_matmul_1 = False
     AV_KERNEL_MIN_COLS = 512
 
     def _use_av_kernel(self, ctx, n_cols):
@@ -1538,11 +1591,30 @@ class EventfulBlock(EventfulMatmul1Block):
 
             ag = self.relative_position.attention_size
             fuse_bias = row_block(ag[0], ag[1]) > 0
+        # matmul-1 can only fuse when the bias also fuses (the XLA bias is
+        # applied to the materialized logits, which fused matmul-1 removes).
+        fuse_mm1 = (
+            self.fuse_matmul_1
+            and use_kernel
+            and self.recompute_product
+            and (self.relative_position is None or fuse_bias)
+        )
         a, q, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
             ctx, params, state, x, index, mask, aux,
-            softmax=not use_kernel, bias=not fuse_bias,
+            softmax=not use_kernel, bias=not fuse_bias, matmul=not fuse_mm1,
         )
-        a, v, old_dtype = self._cast_matmul_2(a, v)
+        if fuse_mm1:
+            # matmul-2 cast applies to the A·V operands; the logits are
+            # computed in f32 inside the kernel and the A state keeps its
+            # (possibly cast) dtype, so only v needs casting here.
+            qk, a = a, None
+            old_dtype = None
+            if self.matmul_2_cast is not None:
+                old_dtype = v.dtype
+                v = v.astype(_CAST_DTYPES[self.matmul_2_cast])
+        else:
+            qk = None
+            a, v, old_dtype = self._cast_matmul_2(a, v)
         a, ats_indices, state = self._adaptive_token_sampling(state, a, v)
         if use_kernel:
             rel = None
@@ -1554,7 +1626,8 @@ class EventfulBlock(EventfulMatmul1Block):
                     )
                 rel = (q, derived)
             x, state = self._av_recompute(
-                ctx, state, a, v, index_k, mask_k, fuse_softmax=True, rel=rel
+                ctx, state, a, v, index_k, mask_k, fuse_softmax=True, rel=rel,
+                qk=qk,
             )
         elif self.recompute_av:
             x, state = self._av_recompute(ctx, state, a, v, index_k, mask_k)
@@ -1584,30 +1657,35 @@ class EventfulBlock(EventfulMatmul1Block):
         return x, ats_indices, state
 
     def _av_recompute(self, ctx, state, a, v, index_k, mask_k, fuse_softmax=False,
-                      rel=None):
+                      rel=None, qk=None):
         """A·V via state recompute (see ``recompute_av``): two elementwise
         selects + one dense matmul replace the gathered delta pipeline.
         With ``fuse_softmax`` the chain runs as ONE Pallas kernel over the
-        pre-softmax logits ``a`` (see av_kernel). Counts mirror the
-        reference's delta formulation exactly (modules.py:285-295 + the two
-        gate passes, modules.py:148)."""
+        pre-softmax logits ``a`` (see av_kernel); with ``qk`` (the
+        unscaled q and pooled k head tensors) matmul-1 also runs inside the
+        kernel and ``a`` is None — the logits never exist in HBM. Counts
+        mirror the reference's delta formulation exactly (modules.py:285-295
+        + the two gate passes, modules.py:148)."""
         from eventful_transformer_tpu.core.indexing import (
             coverage,
             select_cols,
             select_rows,
         )
 
+        p_a_state = state["matmul_gate"]["p"]  # same shape as the logits
         ctx.add("gate_flops", float(v.size))  # v_gate error pass
         p_v = select_rows(state["v_gate"]["p"], v, index_k, mask_k)
         state["v_gate"] = {"p": p_v}
-        ctx.add("gate_flops", float(a.size))  # matmul_gate error pass
+        ctx.add("gate_flops", float(p_a_state.size))  # matmul_gate error pass
         if fuse_softmax:
             from eventful_transformer_tpu.ops.pallas.av_softmax import (
                 softmax_select_matmul,
             )
 
             interpret = jax.devices()[0].platform == "cpu"
-            cov = coverage(index_k, mask_k, a.shape[-1], index_k.ndim + 1)
+            cov = coverage(
+                index_k, mask_k, p_a_state.shape[-1], index_k.ndim + 1
+            )
             kw = {}
             if rel is not None:
                 # rel-pos bias fused into the kernel; reference-parity
@@ -1622,21 +1700,25 @@ class EventfulBlock(EventfulMatmul1Block):
                     a=ag,
                     p=pg,
                 )
-                rows = a.size // a.shape[-1]
+                rows = p_a_state.size // p_a_state.shape[-1]
                 ctx.add("einsum_flops", float(rows * q.shape[-1] * (pg[0] + pg[1])))
-                ctx.add("add_flops", 2.0 * a.size)
+                ctx.add("add_flops", 2.0 * p_a_state.size)
+            if qk is not None:
+                kw["q"] = qk[0]
+                kw["k"] = qk[1]
+                kw["inv_scale"] = 1.0 / self.scale
             p_a, x = softmax_select_matmul(
-                a, state["matmul_gate"]["p"], cov, p_v, interpret=interpret, **kw
+                a, p_a_state, cov, p_v, interpret=interpret, **kw
             )
             state["matmul_gate"] = {"p": p_a}
         else:
-            p_a = select_cols(state["matmul_gate"]["p"], a, index_k, mask_k)
+            p_a = select_cols(p_a_state, a, index_k, mask_k)
             state["matmul_gate"] = {"p": p_a}
             x = jnp.matmul(p_a, p_v, preferred_element_type=p_a.dtype)
         frac = valid_fraction(mask_k)
         kcap = index_k.shape[-1]
-        batch_heads = a.size // (a.shape[-2] * a.shape[-1])
-        out_size = float(batch_heads * a.shape[-2] * v.shape[-1])
+        batch_heads = p_a_state.size // (p_a_state.shape[-2] * p_a_state.shape[-1])
+        out_size = float(batch_heads * p_a_state.shape[-2] * v.shape[-1])
         # reference counts: accumulator bookkeeping + two gathered matmuls
         ctx.add(
             "accumulator_flops",

@@ -90,14 +90,34 @@ def _bias_block(q, yk, xr, r, a1, p0, p1, np_):
     )
 
 
-def _make_kernel(with_bias, r, a1, p0, p1, np_):
+def _make_kernel(with_bias, r, a1, p0, p1, np_, inv_scale=None):
+    fuse_mm1 = inv_scale is not None
+
     def kernel(*refs):
-        if with_bias:
-            (logits_ref, p_ref, cov_ref, v_ref, q_ref, yk_ref, xr_ref,
-             p_out, y_out) = refs
+        if fuse_mm1:
+            if with_bias:
+                (p_ref, cov_ref, v_ref, q_ref, k_ref, yk_ref, xr_ref,
+                 p_out, y_out) = refs
+            else:
+                p_ref, cov_ref, v_ref, q_ref, k_ref, p_out, y_out = refs
+            # matmul-1 in-kernel: the (B, H, N, Np) logits never exist in
+            # HBM (200 MB bf16 at ViTDet-1024, written by XLA matmul-1 and
+            # re-read here — ~2 ms/frame of pure traffic). Scaled q on the
+            # product only; the rel-pos bias uses UNSCALED q (reference
+            # blocks.py:220-223 + utils.py:139-171).
+            l32 = jax.lax.dot_general(
+                q_ref[0, 0].astype(jnp.float32) * jnp.float32(inv_scale),
+                k_ref[0, 0].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bn, Np)
         else:
-            logits_ref, p_ref, cov_ref, v_ref, p_out, y_out = refs
-        l32 = logits_ref[0, 0].astype(jnp.float32)  # (bn, Np)
+            if with_bias:
+                (logits_ref, p_ref, cov_ref, v_ref, q_ref, yk_ref, xr_ref,
+                 p_out, y_out) = refs
+            else:
+                logits_ref, p_ref, cov_ref, v_ref, p_out, y_out = refs
+            l32 = logits_ref[0, 0].astype(jnp.float32)  # (bn, Np)
         if with_bias:
             l32 = l32 + _bias_block(
                 q_ref[0, 0], yk_ref[...], xr_ref[...], r, a1, p0, p1, np_
@@ -128,10 +148,10 @@ def row_block(a0, a1, cap=512):
     return r
 
 
-@partial(jax.jit, static_argnames=("a", "p", "block_n", "interpret"))
+@partial(jax.jit, static_argnames=("a", "p", "block_n", "inv_scale", "interpret"))
 def softmax_select_matmul(
-    logits, p_a, cov, p_v, q=None, y_rel=None, x_rel=None, *,
-    a=None, p=None, block_n=512, interpret=False,
+    logits, p_a, cov, p_v, q=None, y_rel=None, x_rel=None, k=None, *,
+    a=None, p=None, block_n=512, inv_scale=None, interpret=False,
 ):
     """logits (B, H, N, Np) pre-softmax attention logits; p_a (B, H, N, Np)
     stale attention state; cov (B, Np) column selection coverage (>0 =
@@ -139,12 +159,19 @@ def softmax_select_matmul(
     bias: q (B, H, N, c), y_rel (a0, p0, c), x_rel (a1, p1, c) with
     a = (a0, a1) query grid, p = (p0, p1) pooled key grid.
 
+    Fused matmul-1: pass ``k`` (B, H, Np, c) + ``inv_scale`` (and ``q``,
+    with ``logits=None``) and the kernel computes
+    ``logits = (q * inv_scale) @ k^T`` per row block in f32 — the full
+    logits tensor never exists in HBM.
+
     Returns (p_a', out) with p_a' = where(cov, softmax(logits + bias), p_a)
     and out = p_a' @ p_v.
     """
-    b, h, n, np_ = logits.shape
+    fuse_mm1 = k is not None
+    b, h, n, np_ = (q.shape[:3] + (p_a.shape[-1],)) if fuse_mm1 else logits.shape
+    ldtype = q.dtype if fuse_mm1 else logits.dtype
     d = p_v.shape[-1]
-    with_bias = q is not None
+    with_bias = y_rel is not None
     if with_bias:
         a0, a1 = a
         p0, p1 = p
@@ -158,25 +185,36 @@ def softmax_select_matmul(
     row = lambda i, j: (i // h, i % h, j, 0)
     in_specs = [
         pl.BlockSpec((1, 1, bn, np_), row),
-        pl.BlockSpec((1, 1, bn, np_), row),
         pl.BlockSpec((1, 1, np_), lambda i, j: (i // h, 0, 0)),
         pl.BlockSpec((1, 1, np_, d), lambda i, j: (i // h, i % h, 0, 0)),
     ]
-    args = [logits, p_a, cov.reshape(b, 1, np_).astype(jnp.float32), p_v]
+    args = [p_a, cov.reshape(b, 1, np_).astype(jnp.float32), p_v]
+    if not fuse_mm1:
+        in_specs.insert(0, pl.BlockSpec((1, 1, bn, np_), row))
+        args.insert(0, logits)
+    if fuse_mm1 or with_bias:
+        c = q.shape[-1]
+        in_specs.append(pl.BlockSpec((1, 1, bn, c), row))
+        args.append(q)
+    if fuse_mm1:
+        c = q.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((1, 1, np_, c), lambda i, j: (i // h, i % h, 0, 0))
+        )
+        args.append(k)
     if with_bias:
         c = q.shape[-1]
         in_specs += [
-            pl.BlockSpec((1, 1, bn, c), row),
             pl.BlockSpec((r * p0, c), lambda i, j: (j, 0)),
             pl.BlockSpec((a1 * p1, c), lambda i, j: (0, 0)),
         ]
         args += [
-            q,
-            y_rel.reshape(a0 * p0, c).astype(logits.dtype),
-            x_rel.reshape(a1 * p1, c).astype(logits.dtype),
+            y_rel.reshape(a0 * p0, c).astype(ldtype),
+            x_rel.reshape(a1 * p1, c).astype(ldtype),
         ]
     outs = pl.pallas_call(
-        _make_kernel(with_bias, r, a1, p0, p1, np_),
+        _make_kernel(with_bias, r, a1, p0, p1, np_,
+                     inv_scale=inv_scale if fuse_mm1 else None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,

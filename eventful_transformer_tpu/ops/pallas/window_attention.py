@@ -88,14 +88,32 @@ def _attend(x, heads, head_dim, inv_scale, bias_ops, yk, xr, out_dtype):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1):
+def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
+                 geom=None):
     def kernel(*refs):
+        if geom is not None:
+            pb_ref, refs = refs[0], refs[1:]
         if with_bias:
             x_ref, yk_ref, xr_ref, out_ref = refs
         else:
             x_ref, out_ref = refs
         x = x_ref[0]  # (T, 3C)
         n = x.shape[0]
+        if geom is not None:
+            # The spatial map was ZERO-padded to the window grid (a cheap
+            # XLA pad, vs. the broadcast+set of a full qkv-bias map that
+            # cost ~0.6 ms/frame at 1024); out-of-image tokens must equal
+            # the qkv-bias row (reference blocks.py:269-287), so select it
+            # in-kernel. Window position comes from the flat grid index.
+            nh, nw, vh, vw = geom
+            i = pl.program_id(0)
+            wy = (i % (nh * nw)) // nw
+            wx = i % nw
+            idx = _iota2((n, 1), 0)
+            r = idx // a1 + wy * a0
+            c = idx % a1 + wx * a1
+            valid = (r < vh) & (c < vw)
+            x = jnp.where(valid, x, pb_ref[...].astype(x.dtype))
         bias_ops = yk = xr = None
         if with_bias:
             bias_ops = _bias_operands(n, a0, a1, p0, p1)
@@ -142,40 +160,56 @@ def _make_grid_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
 
 @partial(
     jax.jit,
-    static_argnames=("heads", "scale", "a", "p", "interpret"),
+    static_argnames=("heads", "scale", "a", "p", "geom", "interpret"),
 )
 def window_attention(
-    qkv, y_rel=None, x_rel=None, *, heads, scale, a=None, p=None,
-    interpret=False,
+    qkv, y_rel=None, x_rel=None, pad_bias=None, *, heads, scale, a=None,
+    p=None, geom=None, interpret=False,
 ):
     """qkv (Bw, T, 3C) packed per-window rows in the QKV domain -> attention
     output (Bw, T, C). Optional decomposed rel-pos bias from y_rel
     (a0, p0, c) / x_rel (a1, p1, c) with a = (a0, a1) the window query grid
-    and p the key grid (== a: windowed blocks never pool)."""
+    and p the key grid (== a: windowed blocks never pool).
+
+    Window padding: pass ``geom = (nh, nw, valid_h, valid_w)`` (the window
+    grid and the un-padded token extents) plus ``pad_bias`` (the (3C,)
+    qkv-bias row) when ``qkv`` was partitioned from a ZERO-padded spatial
+    map — the kernel substitutes the bias row at out-of-image tokens,
+    replacing the HBM broadcast+set of a full bias map."""
     bw, t, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // heads
     with_bias = y_rel is not None
+    with_pad = geom is not None
+    pad_args, pad_specs = [], []
+    if with_pad:
+        pad_args = [pad_bias.reshape(1, c3).astype(qkv.dtype)]
+        pad_specs = [pl.BlockSpec((1, c3), lambda i: (0, 0))]
     if with_bias:
         a0, a1 = a
         p0, p1 = p if p is not None else a
         assert t == a0 * a1 and t == p0 * p1, (t, a, p)
-        args = [
+        args = pad_args + [
             qkv,
             y_rel.reshape(a0 * p0, head_dim).astype(qkv.dtype),
             x_rel.reshape(a1 * p1, head_dim).astype(qkv.dtype),
         ]
-        in_specs = [
+        in_specs = pad_specs + [
             pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0)),
             pl.BlockSpec((a0 * p0, head_dim), lambda i: (0, 0)),
             pl.BlockSpec((a1 * p1, head_dim), lambda i: (0, 0)),
         ]
     else:
-        a0 = a1 = p0 = p1 = 0
-        args = [qkv]
-        in_specs = [pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0))]
+        if a is not None:
+            a0, a1 = a
+        else:
+            a0 = a1 = 0
+        p0 = p1 = 0
+        args = pad_args + [qkv]
+        in_specs = pad_specs + [pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0))]
     return pl.pallas_call(
-        _make_kernel(heads, head_dim, 1.0 / scale, with_bias, a0, a1, p0, p1),
+        _make_kernel(heads, head_dim, 1.0 / scale, with_bias, a0, a1, p0, p1,
+                     geom=geom),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bw,),

@@ -332,6 +332,7 @@ def test_av_softmax_kernel_matches_unfused():
     policy = TokenNormTopK(k=9)
     for blk, use_kernel in ((blk_a, False), (blk_b, True)):
         blk.av_kernel = use_kernel
+        blk.fuse_matmul_1 = use_kernel  # exercise in-kernel matmul-1 too
         blk.fused_gates = False
         for gate in blk.gates:
             gate.policy = copy.deepcopy(policy)
@@ -376,6 +377,54 @@ def test_av_softmax_kernel_fused_relpos_bias():
     policy = TokenNormTopK(k=9)
     for blk, use_kernel in ((blk_a, False), (blk_b, True)):
         blk.av_kernel = use_kernel
+        blk.fuse_matmul_1 = use_kernel  # exercise in-kernel matmul-1 too
+        blk.fused_gates = False
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    params["relative_position"] = {
+        k: jnp.asarray(rng.standard_normal(v.shape).astype(np.float32)) * 0.1
+        for k, v in params["relative_position"].items()
+    }
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_av_softmax_kernel_relpos_no_tile_legal_row_block():
+    """When no tile-legal row block exists for the bias (row_block == 0),
+    the kernel path must fall back to XLA bias on MATERIALIZED logits —
+    i.e. fused matmul-1 must disable itself rather than drop the bias."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+    from eventful_transformer_tpu.ops.pallas.av_softmax import row_block
+
+    assert row_block(6, 2) == 0
+    rng = np.random.default_rng(41)
+    B, n, C = 2, 12, 64
+    kwargs = dict(
+        dim=C, heads=4, mlp_ratio=2, input_size=(6, 2), pool_size=2,
+        relative_embedding_size=[6, 2],
+    )
+    blk_a = EventfulBlock(**kwargs)
+    blk_b = EventfulBlock(**kwargs)
+    policy = TokenNormTopK(k=5)
+    for blk, use_kernel in ((blk_a, False), (blk_b, True)):
+        blk.av_kernel = use_kernel
+        blk.fuse_matmul_1 = use_kernel  # exercise in-kernel matmul-1 too
         blk.fused_gates = False
         for gate in blk.gates:
             gate.policy = copy.deepcopy(policy)
@@ -478,6 +527,20 @@ def test_window_attention_kernel_dense_no_relpos():
 
     blk_a, blk_b, params = _window_block_pair("Block", rng, relpos=False)
     x = jnp.asarray(rng.standard_normal((2, 24, 64)).astype(np.float32)) * 0.5
+    ya, _ = blk_a.apply(Ctx(), params, {}, x)
+    yb, _ = blk_b.apply(Ctx(), params, {}, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_kernel_no_relpos_padded():
+    """In-kernel pad-bias substitution on the geom path without rel-pos."""
+    rng = np.random.default_rng(37)
+    from eventful_transformer_tpu.core.counting import Ctx
+
+    blk_a, blk_b, params = _window_block_pair(
+        "Block", rng, relpos=False, input_size=(5, 7), window_size=(2, 3)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 35, 64)).astype(np.float32)) * 0.5
     ya, _ = blk_a.apply(Ctx(), params, {}, x)
     yb, _ = blk_b.apply(Ctx(), params, {}, x)
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
