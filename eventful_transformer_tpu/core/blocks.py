@@ -90,7 +90,15 @@ class Block(Module):
             # Ulysses sequence parallelism covers the global-attention
             # configuration (the one that grows with N); windows/pooling/
             # rel-pos/ATS keep attention local or data-dependent and stay
-            # single-shard (SURVEY.md §5 long-context row).
+            # single-shard (SURVEY.md §5 long-context row). Token-GATED
+            # blocks are excluded too: a top-k policy under token sharding
+            # selects k tokens PER SHARD (P*k globally), which is a
+            # different selection set than the unsharded reference — the
+            # exactness claim only holds for the dense Block.
+            assert type(self) is Block, (
+                "sequence_parallel requires the dense Block: top-k gates "
+                "select per-shard under token sharding"
+            )
             assert window_size is None and pool_size is None
             assert relative_embedding_size is None and ats_fraction is None
         self.sequence_parallel = sequence_parallel
@@ -237,10 +245,14 @@ class Block(Module):
             or self.matmul_2_cast is not None
         ):
             return False
+        # training needs gradients: pallas_call has no VJP here — checked
+        # BEFORE honoring True, like _use_av_kernel, so a force-enabled
+        # block still falls back to the XLA path under a train step.
+        if ctx.training:
+            return False
         if self.fused_window_attention is True:
             return True
-        # training needs gradients: pallas_call has no VJP here
-        if self.fused_window_attention != "auto" or ctx.training:
+        if self.fused_window_attention != "auto":
             return False
         try:
             return jax.devices()[0].platform not in ("cpu",)

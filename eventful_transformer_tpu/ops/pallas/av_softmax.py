@@ -42,8 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _iota2(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+from eventful_transformer_tpu.ops.pallas.common import (
+    iota2 as _iota2,
+    row_block as _row_block,
+)
 
 
 def _bias_block(q, yk, xr, r, a1, p0, p1, np_):
@@ -138,14 +140,9 @@ def _make_kernel(with_bias, r, a1, p0, p1, np_, inv_scale=None):
 
 
 def row_block(a0, a1, cap=512):
-    """Largest divisor r of a0 with r*a1 <= cap and r*a1 a multiple of the
-    8-sublane tile; 0 if none exists (caller falls back to XLA bias)."""
-    r = max(1, min(a0, cap // a1))
-    while r > 1 and (a0 % r or (r * a1) % 8):
-        r -= 1
-    if a0 % r or (r * a1) % 8:
-        return 0
-    return r
+    """Largest tile-legal bias row block; 0 if none exists (caller falls
+    back to XLA bias on materialized logits). See common.row_block."""
+    return _row_block(a0, a1, cap, fallback=0)
 
 
 @partial(jax.jit, static_argnames=("a", "p", "block_n", "inv_scale", "interpret"))

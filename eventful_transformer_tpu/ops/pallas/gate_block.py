@@ -47,20 +47,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LN_EPS = 1e-6
+from eventful_transformer_tpu.ops.pallas.common import (  # noqa: F401
+    LN_EPS,
+    ln_f32 as _ln_f32,
+)
 
-
-def _ln_f32(x, scale, bias):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    return (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
-
-
-def _copy_precision(dtype):
-    if dtype == jnp.float32:
-        return jax.lax.Precision.HIGHEST
-    return jax.lax.Precision.DEFAULT
+from eventful_transformer_tpu.ops.pallas.common import (  # noqa: F401,E402
+    copy_precision as _copy_precision,
+)
 
 
 def _make_kernel(apply_ln, out_mode):

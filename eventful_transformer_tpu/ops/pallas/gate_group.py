@@ -38,47 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LN_EPS = 1e-6
-
-
-# XLA's f32 erf (xla/client/lib/math.cc ErfImpl32): rational minimax on
-# [-4, 4], ~1 ulp in f32 — Mosaic has no erf lowering, so the exact-GELU
-# (torch nn.GELU default) is computed with the same polynomial XLA itself
-# uses. Validated against jax.scipy.special.erf in tests.
-_ERF_ALPHA = (
-    -2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
-    -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
-    -1.60960333262415e-02,
+from eventful_transformer_tpu.ops.pallas.common import (  # noqa: F401
+    LN_EPS,
+    copy_precision as _copy_precision,
+    gelu_exact as _gelu_exact,
+    ln_f32 as _ln_f32,
 )
-_ERF_BETA = (
-    -1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
-    -7.37332916720468e-03, -1.42647390514189e-02,
-)
-
-
-def _poly(x, coeffs):
-    acc = jnp.full_like(x, coeffs[0])
-    for c in coeffs[1:]:
-        acc = acc * x + c
-    return acc
-
-
-def _erf_f32(x):
-    x = jnp.clip(x, -4.0, 4.0)
-    x2 = x * x
-    return x * _poly(x2, _ERF_ALPHA) / _poly(x2, _ERF_BETA)
-
-
-def _gelu_exact(x):
-    """Exact (erf) GELU in f32, matching jax.nn.gelu(approximate=False)."""
-    return x * 0.5 * (1.0 + _erf_f32(x * (2.0**-0.5)))
-
-
-def _ln_f32(x, scale, bias):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    return (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
 
 
 def _compaction_onehot(cov_row, kcap, dtype):
@@ -185,18 +150,6 @@ def _topk_cov(new, p_row, kcap):
     tie_rank = _cumsum_lanes(eq)  # inclusive prefix count of ties
     cov = gt + eq * (tie_rank <= kf - n_gt).astype(jnp.float32)
     return cov
-
-
-def _copy_precision(dtype):
-    """Precision for the one-hot copy matmuls, which must be EXACT.
-
-    f32 inputs: DEFAULT runs the MXU through bf16 passes, quantizing the
-    copies -> force HIGHEST. bf16 inputs: products (1.0 * value) are exact at
-    DEFAULT, and Mosaic rejects HIGHEST bf16 operands ("Bad lhs type").
-    """
-    if dtype == jnp.float32:
-        return jax.lax.Precision.HIGHEST
-    return jax.lax.Precision.DEFAULT
 
 
 def _gate_domain(x_row, scale, bias, ln_mode):

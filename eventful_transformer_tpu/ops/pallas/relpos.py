@@ -125,8 +125,10 @@ def relpos_bias_add(x, q, y_rel, x_rel, *, a, p, interpret=False):
 # in HBM. Terms accumulate in f32 and round once to the working dtype.
 
 
-def _iota2(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+from eventful_transformer_tpu.ops.pallas.common import (  # noqa: E402
+    iota2 as _iota2,
+    row_block as _common_row_block,
+)
 
 
 def _make_kernel_v2(m, bn, r, a1, p0, p1, np_):
@@ -190,16 +192,10 @@ def _make_kernel_v2(m, bn, r, a1, p0, p1, np_):
 
 
 def _row_block(a0, a1, cap=512):
-    """Largest divisor r of a0 with r*a1 <= cap AND r*a1 a multiple of the
-    8-sublane tile (Mosaic block constraint); falls back to r = a0 (whole-N
-    blocks — always legal since the block then equals the array dim; the
-    full per-axis tables are only a few hundred KB)."""
-    r = max(1, min(a0, cap // a1))
-    while r > 1 and (a0 % r or (r * a1) % 8):
-        r -= 1
-    if a0 % r or (r * a1) % 8:
-        return a0
-    return r
+    """Largest tile-legal row block, falling back to whole-axis blocks
+    (always legal: the block then equals the array dim, and the full
+    per-axis tables are only a few hundred KB). See common.row_block."""
+    return _common_row_block(a0, a1, cap, fallback=a0)
 
 
 @partial(jax.jit, static_argnames=("a", "p", "interpret"))

@@ -35,8 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _iota2(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+from eventful_transformer_tpu.ops.pallas.common import iota2 as _iota2
 
 
 def _dot(a, b, trans_b=False):

@@ -52,16 +52,20 @@ class BucketedThresholdStep:
 
     def _step_for(self, level):
         capacity = self.capacities[level]
+        # jit captures the policy's static capacity at TRACE time, and a
+        # bucket's step may hold more than one lazily-traced program (the
+        # flush/incremental split): a program first CALLED after another
+        # bucket's set_policies would silently trace at the wrong
+        # capacity. Re-install the policies on EVERY dispatch to this
+        # bucket (attribute writes, negligible) so any late trace captures
+        # the right capacity; already-traced programs are unaffected.
+        set_policies(
+            self.model,
+            TokenNormThreshold,
+            threshold=self.threshold,
+            capacity=capacity,
+        )
         if capacity not in self._steps:
-            # jit captures the policy's static capacity at trace time, so
-            # each bucket gets its own compiled program (and later
-            # set_policies calls don't disturb already-traced steps).
-            set_policies(
-                self.model,
-                TokenNormThreshold,
-                threshold=self.threshold,
-                capacity=capacity,
-            )
             self._steps[capacity] = self.build_step(capacity)
         return self._steps[capacity]
 

@@ -88,3 +88,23 @@ class TestBucketedThreshold:
         _, state = blk.apply(ctx, params, state, jnp.asarray(frames[0]))
         _, state = blk.apply(ctx, params, state, jnp.asarray(frames[1]))
         assert count_value(ctx.counts["policy_saturated"]) > 0
+
+    def test_step_for_reinstalls_policies_on_cached_buckets(self):
+        """A bucket's step can hold more than one LAZILY-traced program
+        (the flush/incremental split in scripts/evaluate/vitdet_vid.py);
+        a program first called after another bucket's set_policies would
+        trace at the wrong capacity. _step_for must therefore re-install
+        the policies even when the bucket is cached."""
+        from eventful_transformer_tpu.core.gating import TokenGate
+
+        blk, _ = _make_block()
+        dispatcher = BucketedThresholdStep(
+            blk, lambda capacity=None: (lambda *a: None), THRESHOLD,
+            capacities=[6, 12],
+        )
+        gates = blk.modules_of_type(TokenGate)
+        dispatcher._step_for(0)
+        dispatcher._step_for(1)
+        assert all(g.policy._capacity == 12 for g in gates)
+        dispatcher._step_for(0)  # cached — must still re-install
+        assert all(g.policy._capacity == 6 for g in gates)
