@@ -609,3 +609,24 @@ def test_window_attention_kernel_eventful_tokenwise():
         )
     for key in counts_a:
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_common_erf_and_gelu_match_xla():
+    """ops/pallas/common: the in-kernel rational erf matches
+    jax.scipy.special.erf and gelu_exact matches
+    jax.nn.gelu(approximate=False) to f32 precision on [-4, 4] (the kernel
+    clips outside, where erf is +-1 to ~1e-8)."""
+    import jax
+
+    from eventful_transformer_tpu.ops.pallas.common import erf_f32, gelu_exact
+
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(erf_f32(x)), np.asarray(jax.scipy.special.erf(x)),
+        rtol=0, atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gelu_exact(x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)),
+        rtol=0, atol=3e-6,  # |x| * erf_err / 2 at |x| <= 6
+    )
