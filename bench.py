@@ -163,13 +163,18 @@ def bench_vitdet(args, size):
     n = (size // 16) ** 2
 
     def setup(eventful):
+        from eventful_transformer_tpu.core.blocks import EventfulBlock
+
         model = build_vitdet_backbone(eventful, size)
         if eventful:
-            for gate in model.blocks[0].modules_of_type(TokenGate):
-                pass  # gates are per-block; set below
             for blk in model.blocks:
                 for gate in blk.modules_of_type(TokenGate):
                     gate.policy = TokenNormTopK(k=k)
+                if isinstance(blk, EventfulBlock):
+                    if args.fuse_mm1:
+                        blk.fuse_matmul_1 = True
+                    if args.av_kernel:
+                        blk.av_kernel = True
         params = model.init(jax.random.PRNGKey(0))
         params = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
@@ -363,6 +368,13 @@ def main():
     parser.add_argument("--fused", default=None,
         help="force gate-fusion mode on eventful blocks: "
         "v2mlp/v2/v1/v1v2/v3/blocked/False")
+    parser.add_argument("--av-kernel", action="store_true",
+        help="force the fused A-V kernel on EventfulBlock even below "
+        "AV_KERNEL_MIN_COLS (re-measure the 672 dispatch with --fuse-mm1, "
+        "whose traffic profile differs)")
+    parser.add_argument("--fuse-mm1", action="store_true",
+        help="fuse matmul-1 (q-kT) into the A-V kernel on EventfulBlock "
+        "(vitdet workload); see EventfulBlock.fuse_matmul_1")
     parser.add_argument("--topk-in-kernel", action="store_true",
         help="force in-kernel radix-bisection top-k selection inside the "
         "fused gate-group kernels (vivit workload)")

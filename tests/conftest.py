@@ -61,6 +61,7 @@ SLOW_TESTS = (
     "test_train.py::TestCheckpointResume::test_full_state_roundtrip",
     "test_bucketing.py::TestBucketedThreshold::test_exact_and_escalating",
     "test_harness.py::TestBucketedViViTEval",
+    "test_pallas.py::test_blocked_group_full_scale_n4096",
 )
 
 

@@ -270,6 +270,28 @@ def test_blocked_group_eventful_block_pooled():
     _blocked_vs_unfused(EventfulBlock, TokenNormTopK(k=9), pool_size=2)
 
 
+def test_blocked_group_full_scale_n4096():
+    """Blocked kernels at the ViTDet-1024 token count (N=4096 — the regime
+    the blocked path exists for, reference blocks.py:399-463): golden vs
+    the unfused gathered+buffered path at full N so the tile/grid logic
+    (row blocks, rank compaction across block boundaries) is exercised,
+    not just the small-shape variant. Slim width keeps interpret-mode
+    runtime tractable; marked slow."""
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    _blocked_vs_unfused(
+        EventfulTokenwiseBlock,
+        TokenNormTopK(k=256),
+        n=4096,
+        steps=2,
+        dim=64,
+        heads=2,
+        mlp_ratio=1,
+        input_size=(64, 64),
+    )
+
+
 def test_av_recompute_matches_delta_accumulator():
     """EventfulBlock.recompute_av: the A-V product recomputed as
     p_a @ p_v equals the reference's delta-accumulated product (pure
