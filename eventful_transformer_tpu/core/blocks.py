@@ -259,6 +259,39 @@ class Block(Module):
         except Exception:
             return False
 
+    # Fused GLOBAL attention for small token counts (ViViT's spatial N=197
+    # and temporal N=17): the same one-VMEM-pass attention as the windowed
+    # kernel, with the whole sequence as a single "window" per batch row.
+    # Replaces the XLA head-split transposes + three HBM round-trips of the
+    # (B, H, N, N) logits. Applies to the dense Block AND the eventful
+    # tokenwise blocks (whose attention runs dense on the full buffer);
+    # excluded whenever pooling / ATS / matmul-2 cast / rel-pos change the
+    # attention structure (reference blocks.py:205-246 plain path only).
+    fused_global_attention = "auto"
+    GLOBAL_ATTN_MAX_TOKENS = 512  # per-instance logits must fit VMEM
+
+    def _use_global_attention_kernel(self, ctx, n_tokens):
+        if (
+            self.window_size is not None
+            or self.pool_size is not None
+            or self.ats_fraction is not None
+            or self.matmul_2_cast is not None
+            or self.relative_position is not None
+        ):
+            return False
+        if ctx.training:  # pallas_call has no VJP here
+            return False
+        if self.fused_global_attention is True:
+            return True
+        if self.fused_global_attention != "auto":
+            return False
+        if n_tokens > self.GLOBAL_ATTN_MAX_TOKENS:
+            return False
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
     def _partition_windows_zero(self, ctx, params, x):
         """Partition for the fused kernel: ZERO-pad the spatial map (a
         cheap XLA pad the producer fuses into, vs. the full-bias-map
@@ -330,6 +363,21 @@ class Block(Module):
             x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
             x = self._window_attention_fused(ctx, params, x, aux, pad_bias, geom)
             return self._recombine_windows(x), None, state
+        if self._use_global_attention_kernel(ctx, x.shape[-2]):
+            from eventful_transformer_tpu.ops.pallas.window_attention import (
+                window_attention,
+            )
+
+            interpret = jax.devices()[0].platform == "cpu"
+            b, t, _ = x.shape
+            d = self.dim // self.heads
+            out = window_attention(
+                x, None, None, None, heads=self.heads, scale=self.scale,
+                interpret=interpret,
+            )
+            # reference-parity counts: matmul-1 + matmul-2 (counting.py:165-175)
+            ctx.add("matmul_flops", 2.0 * b * self.heads * t * t * d)
+            return out, None, state
         x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)

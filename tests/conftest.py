@@ -62,6 +62,17 @@ SLOW_TESTS = (
     "test_bucketing.py::TestBucketedThreshold::test_exact_and_escalating",
     "test_harness.py::TestBucketedViViTEval",
     "test_pallas.py::test_blocked_group_full_scale_n4096",
+    # round-3 durations pass (pytest --durations=40): everything >= ~14 s
+    "test_backbone.py::TestViViTForwardVariants::test_conv_embed_matches_einsum",
+    "test_detection.py::TestCascadeROIHeads::test_cascade_end_to_end",
+    "test_backbone.py::TestViViTForwardVariants::test_split_flush_matches_cond",
+    "test_vitdet_eval_driver.py::test_eval_driver_bucketed_threshold",
+    "test_detection.py::TestCascadeROIHeads::test_stage_weights_and_agnostic_shape",
+    "test_blocks_golden.py::TestEventfulBlocksGolden::test_full_budget_matches_dense",
+    "test_detection.py::TestNMS::test_batched_groups_dont_suppress",
+    "test_pallas.py::test_gate_group_in_kernel_topk",
+    "test_blocks_golden.py::TestThresholdPolicyInBlock::test_threshold_multi_frame_golden",
+    "test_vitdet_eval_driver.py::test_eval_driver_topk",
 )
 
 

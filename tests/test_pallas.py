@@ -633,6 +633,73 @@ def test_window_attention_kernel_eventful_tokenwise():
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
 
 
+def _global_block_pair(block_cls, rng):
+    """Two identical NON-windowed blocks (the ViViT spatial/temporal shape:
+    global attention, no pool/ATS/cast/rel-pos), fused global attention
+    on/off."""
+    import jax
+
+    from eventful_transformer_tpu.core import blocks as blocks_mod
+
+    kwargs = dict(dim=64, heads=4, mlp_ratio=2, input_size=(4, 6))
+    blk_a = getattr(blocks_mod, block_cls)(**kwargs)
+    blk_b = getattr(blocks_mod, block_cls)(**kwargs)
+    blk_a.fused_global_attention = False
+    blk_b.fused_global_attention = True
+    for blk in (blk_a, blk_b):
+        blk.fused_gates = False
+        blk.fused_dense_mlp = False
+    return blk_a, blk_b, blk_a.init(jax.random.PRNGKey(0))
+
+
+def test_global_attention_kernel_dense():
+    """Fused global attention (whole sequence as one window per batch row,
+    the ViViT N=197 shape) == the XLA head-split path, dense Block, values
+    and counts; N=25 exercises a tile-unaligned token count (196 + class)."""
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+
+    rng = np.random.default_rng(41)
+    blk_a, blk_b, params = _global_block_pair("Block", rng)
+    x = jnp.asarray(rng.standard_normal((2, 25, 64)).astype(np.float32)) * 0.5
+    ctx_a, ctx_b = Ctx(count_mode=True), Ctx(count_mode=True)
+    ya, _ = blk_a.apply(ctx_a, params, {}, x)
+    yb, _ = blk_b.apply(ctx_b, params, {}, x)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5)
+    counts_a = Counts.from_device(ctx_a.counts)
+    counts_b = Counts.from_device(ctx_b.counts)
+    assert set(counts_a.keys()) == set(counts_b.keys())
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_global_attention_kernel_eventful_tokenwise():
+    """Fused global attention under the eventful-tokenwise block (attention
+    runs dense on the full buffer): flush + incremental steps stay value-
+    and count-matched to the XLA path."""
+    import copy
+
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(43)
+    blk_a, blk_b, params = _global_block_pair("EventfulTokenwiseBlock", rng)
+    policy = TokenNormTopK(k=9)
+    for blk in (blk_a, blk_b):
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(policy)
+    x_seq = [
+        jnp.asarray(rng.standard_normal((2, 25, 64)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, 25)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, 25)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
 def test_common_erf_and_gelu_match_xla():
     """ops/pallas/common: the in-kernel rational erf matches
     jax.scipy.special.erf and gelu_exact matches
