@@ -2,7 +2,9 @@
 eventful (50% token budget) vs dense, both at TPU-native bf16 serving
 precision, throughput mode (8 clips batched; clips are independent streams).
 
-Prints ONE JSON line:
+Prints one JSON line per workload; the CANONICAL driver metric (ViViT
+clips/s) prints FIRST, and later workloads self-schedule against
+``--budget-seconds`` so a driver timeout can never drop the headline:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 ``value``  = eventful clips/sec/chip (full apply_views pipeline: tubelet
@@ -338,6 +340,93 @@ def bench_vitdet_e2e(args, size):
     }
 
 
+def bench_vivit_throughput(args):
+    """Canonical driver metric: ViViT-B K400 clips/s/chip at the 50% token
+    budget, 8-clip batch, eventful vs dense interleaved A/B."""
+    n_tokens = (args.size // 16) ** 2 + 1
+    k = int(args.budget * n_tokens)
+
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(
+        rng.standard_normal(
+            (args.clips, args.views, args.frames, 3, args.size, args.size)
+        ).astype(np.float32)
+    )
+
+    from eventful_transformer_tpu.utils.timing import time_jitted_pair
+
+    dense = build_model(False, k, args.views, args.frames, args.size)
+    dense.frame_scan_unroll = args.vivit_unroll
+    eventful = build_model(
+        True, k, args.views, args.frames, args.size, block_class=args.block,
+        fused=args.fused, topk_in_kernel=args.topk_in_kernel,
+    )
+    eventful.frame_scan_unroll = args.vivit_unroll
+    # Interleaved A/B: clock/platform drift hits both paths alike.
+    d_step, d_args = _model_step(dense, views, args.dtype)
+    e_step, e_args = _model_step(eventful, views, args.dtype)
+    dense_t, eventful_t = time_jitted_pair(
+        d_step, d_args, e_step, e_args, iters=args.iters
+    )
+
+    clips_per_sec = args.clips / eventful_t
+    return {
+        "metric": "vivit_b_k400_clips_per_sec_1chip_50pct_budget",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s",
+        "vs_baseline": round(dense_t / eventful_t, 4),
+        "detail": {
+            "dense_s_per_clip": round(dense_t / args.clips, 4),
+            "eventful_s_per_clip": round(eventful_t / args.clips, 4),
+            "dense_clips_per_sec": round(args.clips / dense_t, 4),
+            "k": k,
+            "n_tokens": n_tokens,
+            "clips": args.clips,
+            "views": args.views,
+            "frames": args.frames,
+            "block": args.block,
+            "dtype": args.dtype or "float32",
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+
+
+def bench_vivit_latency(args):
+    """Batch-1 latency (the paper's edge regime): one clip, its views
+    batched as the protocol requires, per-clip wall-clock."""
+    n_tokens = (args.size // 16) ** 2 + 1
+    k = int(args.budget * n_tokens)
+    rng = np.random.default_rng(0)
+    one = jnp.asarray(
+        rng.standard_normal(
+            (1, args.views, args.frames, 3, args.size, args.size)
+        ).astype(np.float32)
+    )
+    from eventful_transformer_tpu.utils.timing import time_jitted_pair
+
+    dense_l = build_model(False, k, args.views, args.frames, args.size)
+    event_l = build_model(
+        True, k, args.views, args.frames, args.size, block_class=args.block,
+        fused=args.fused,
+    )
+    dense_l.frame_scan_unroll = args.vivit_unroll
+    event_l.frame_scan_unroll = args.vivit_unroll
+    d_step, d_args = _model_step(dense_l, one, args.dtype)
+    e_step, e_args = _model_step(event_l, one, args.dtype)
+    d_t, e_t = time_jitted_pair(d_step, d_args, e_step, e_args, iters=args.iters)
+    return {
+        "metric": "vivit_b_k400_latency_ms_per_clip_batch1",
+        "value": round(e_t * 1e3, 3),
+        "unit": "ms/clip",
+        "vs_baseline": round(d_t / e_t, 4),
+        "detail": {
+            "dense_ms_per_clip": round(d_t * 1e3, 3),
+            "k": k, "views": args.views, "frames": args.frames,
+            "block": args.block, "dtype": args.dtype or "float32",
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--views", type=int, default=4)
@@ -388,108 +477,73 @@ def main():
     parser.add_argument(
         "--workload", default="all",
         choices=["all", "vivit", "vitdet", "vitdet-e2e", "vivit-latency"],
-        help="which benchmark(s) to run; the ViViT K400 line prints LAST "
-        "(it is the canonical driver metric)",
+        help="which benchmark(s) to run; the canonical ViViT K400 clips/s "
+        "line prints FIRST so a timeout can never drop it",
+    )
+    parser.add_argument(
+        "--budget-seconds", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_S", 3000)),
+        help="soft wall-clock budget for the whole run. The canonical "
+        "metric always runs; each later workload is skipped (stderr note) "
+        "if its cold-compile-inclusive cost estimate no longer fits. "
+        "Prevents the round-3 failure mode (rc=124 with the headline "
+        "metric unprinted).",
     )
     args = parser.parse_args()
 
-    if args.workload in ("all", "vitdet"):
+    import sys
+    import time as _time
+
+    t_start = _time.perf_counter()
+
+    def elapsed():
+        return _time.perf_counter() - t_start
+
+    # (name, cold-compile-inclusive cost estimate in seconds, thunk).
+    # Ordered by importance: the canonical driver metric first, then the
+    # ViTDet backbone wins, then e2e latency, then ViViT batch-1 latency.
+    def schedule(workloads):
+        est_scale = 1.0
+        for i, (name, est, thunk) in enumerate(workloads):
+            fits = elapsed() + est * est_scale <= args.budget_seconds
+            if i > 0 and not fits:
+                print(
+                    f"bench: skipping {name} (elapsed {elapsed():.0f}s + "
+                    f"est {est * est_scale:.0f}s > budget "
+                    f"{args.budget_seconds:.0f}s)",
+                    file=sys.stderr, flush=True,
+                )
+                continue
+            t0 = _time.perf_counter()
+            print(json.dumps(thunk()), flush=True)
+            took = _time.perf_counter() - t0
+            # Adapt later estimates to observed cache state: warm-cache
+            # runs come in far under the cold estimates.
+            est_scale = min(est_scale, max(took / est, 0.1))
+
+    if args.workload == "all":
+        schedule([
+            ("vivit", 700, lambda: bench_vivit_throughput(args)),
+            ("vitdet-1024", 550, lambda: bench_vitdet(args, 1024)),
+            ("vitdet-672", 500, lambda: bench_vitdet(args, 672)),
+            ("vitdet-e2e-672", 550, lambda: bench_vitdet_e2e(args, 672)),
+            ("vitdet-e2e-1024", 650, lambda: bench_vitdet_e2e(args, 1024)),
+            ("vivit-latency", 400, lambda: bench_vivit_latency(args)),
+        ])
+        return
+
+    if args.workload == "vivit":
+        print(json.dumps(bench_vivit_throughput(args)), flush=True)
+    elif args.workload == "vitdet":
         sizes = (672, 1024) if args.vitdet_size == 0 else (args.vitdet_size,)
         for size in sizes:
             print(json.dumps(bench_vitdet(args, size)), flush=True)
-        if args.workload == "vitdet":
-            return
-
-    if args.workload in ("all", "vitdet-e2e"):
-        size = args.vitdet_size or 672
-        print(json.dumps(bench_vitdet_e2e(args, size)), flush=True)
-        if args.workload == "vitdet-e2e":
-            return
-
-    if args.workload in ("all", "vivit-latency"):
-        # Batch-1 latency (the paper's edge regime): one clip, its views
-        # batched as the protocol requires, per-clip wall-clock.
-        n_tokens = (args.size // 16) ** 2 + 1
-        k = int(args.budget * n_tokens)
-        rng = np.random.default_rng(0)
-        one = jnp.asarray(
-            rng.standard_normal(
-                (1, args.views, args.frames, 3, args.size, args.size)
-            ).astype(np.float32)
-        )
-        from eventful_transformer_tpu.utils.timing import time_jitted_pair
-
-        dense_l = build_model(False, k, args.views, args.frames, args.size)
-        event_l = build_model(
-            True, k, args.views, args.frames, args.size, block_class=args.block,
-            fused=args.fused,
-        )
-        dense_l.frame_scan_unroll = args.vivit_unroll
-        event_l.frame_scan_unroll = args.vivit_unroll
-        d_step, d_args = _model_step(dense_l, one, args.dtype)
-        e_step, e_args = _model_step(event_l, one, args.dtype)
-        d_t, e_t = time_jitted_pair(d_step, d_args, e_step, e_args, iters=args.iters)
-        print(json.dumps({
-            "metric": "vivit_b_k400_latency_ms_per_clip_batch1",
-            "value": round(e_t * 1e3, 3),
-            "unit": "ms/clip",
-            "vs_baseline": round(d_t / e_t, 4),
-            "detail": {
-                "dense_ms_per_clip": round(d_t * 1e3, 3),
-                "k": k, "views": args.views, "frames": args.frames,
-                "block": args.block, "dtype": args.dtype or "float32",
-            },
-        }), flush=True)
-        if args.workload == "vivit-latency":
-            return
-
-    n_tokens = (args.size // 16) ** 2 + 1
-    k = int(args.budget * n_tokens)
-
-    rng = np.random.default_rng(0)
-    views = jnp.asarray(
-        rng.standard_normal(
-            (args.clips, args.views, args.frames, 3, args.size, args.size)
-        ).astype(np.float32)
-    )
-
-    from eventful_transformer_tpu.utils.timing import time_jitted_pair
-
-    dense = build_model(False, k, args.views, args.frames, args.size)
-    dense.frame_scan_unroll = args.vivit_unroll
-    eventful = build_model(
-        True, k, args.views, args.frames, args.size, block_class=args.block,
-        fused=args.fused, topk_in_kernel=args.topk_in_kernel,
-    )
-    eventful.frame_scan_unroll = args.vivit_unroll
-    # Interleaved A/B: clock/platform drift hits both paths alike.
-    d_step, d_args = _model_step(dense, views, args.dtype)
-    e_step, e_args = _model_step(eventful, views, args.dtype)
-    dense_t, eventful_t = time_jitted_pair(
-        d_step, d_args, e_step, e_args, iters=args.iters
-    )
-
-    clips_per_sec = args.clips / eventful_t
-    result = {
-        "metric": "vivit_b_k400_clips_per_sec_1chip_50pct_budget",
-        "value": round(clips_per_sec, 4),
-        "unit": "clips/s",
-        "vs_baseline": round(dense_t / eventful_t, 4),
-        "detail": {
-            "dense_s_per_clip": round(dense_t / args.clips, 4),
-            "eventful_s_per_clip": round(eventful_t / args.clips, 4),
-            "dense_clips_per_sec": round(args.clips / dense_t, 4),
-            "k": k,
-            "n_tokens": n_tokens,
-            "clips": args.clips,
-            "views": args.views,
-            "frames": args.frames,
-            "block": args.block,
-            "dtype": args.dtype or "float32",
-            "device": jax.devices()[0].device_kind,
-        },
-    }
-    print(json.dumps(result))
+    elif args.workload == "vitdet-e2e":
+        sizes = (672, 1024) if args.vitdet_size == 0 else (args.vitdet_size,)
+        for size in sizes:
+            print(json.dumps(bench_vitdet_e2e(args, size)), flush=True)
+    elif args.workload == "vivit-latency":
+        print(json.dumps(bench_vivit_latency(args)), flush=True)
 
 
 if __name__ == "__main__":

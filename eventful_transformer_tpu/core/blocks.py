@@ -269,8 +269,15 @@ class Block(Module):
     # attention structure (reference blocks.py:205-246 plain path only).
     fused_global_attention = "auto"
     GLOBAL_ATTN_MAX_TOKENS = 512  # per-instance logits must fit VMEM
+    # Per-grid-instance VMEM bound for the auto path: the qkv block
+    # (t, 3C), the (t, C) output and the per-head f32 logits (t, t) must
+    # coexist in VMEM alongside Mosaic's own scratch. 8 MB of the v5e's
+    # 16 MB per-core VMEM leaves comfortable headroom; a raw token cap
+    # alone would admit a 512-token block with a wide channel dim whose
+    # qkv slab exceeds VMEM.
+    GLOBAL_ATTN_MAX_BYTES = 8 * 1024 * 1024
 
-    def _use_global_attention_kernel(self, ctx, n_tokens):
+    def _use_global_attention_kernel(self, ctx, x):
         if (
             self.window_size is not None
             or self.pool_size is not None
@@ -285,7 +292,16 @@ class Block(Module):
             return True
         if self.fused_global_attention != "auto":
             return False
+        n_tokens = x.shape[-2]
         if n_tokens > self.GLOBAL_ATTN_MAX_TOKENS:
+            return False
+        itemsize = jnp.dtype(x.dtype).itemsize
+        est_bytes = (
+            n_tokens * 3 * self.dim * itemsize  # qkv input block
+            + n_tokens * self.dim * itemsize  # output block
+            + n_tokens * n_tokens * 4  # per-head f32 logits
+        )
+        if est_bytes > self.GLOBAL_ATTN_MAX_BYTES:
             return False
         try:
             return jax.devices()[0].platform not in ("cpu",)
@@ -349,9 +365,12 @@ class Block(Module):
             )
             ctx.add("add_flops", 2.0 * bw * self.heads * t * t)
         else:
+            # window_size None = fused GLOBAL attention: the whole sequence
+            # is a single "window" per batch row (same kernel, no geometry).
             out = window_attention(
                 x, None, None, pad_bias, heads=self.heads, scale=self.scale,
-                a=tuple(self.window_size), geom=geom, interpret=interpret,
+                a=tuple(self.window_size) if self.window_size else None,
+                geom=geom, interpret=interpret,
             )
         ctx.add("matmul_flops", 2.0 * bw * self.heads * t * t * d)
         return out
@@ -363,20 +382,8 @@ class Block(Module):
             x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
             x = self._window_attention_fused(ctx, params, x, aux, pad_bias, geom)
             return self._recombine_windows(x), None, state
-        if self._use_global_attention_kernel(ctx, x.shape[-2]):
-            from eventful_transformer_tpu.ops.pallas.window_attention import (
-                window_attention,
-            )
-
-            interpret = jax.devices()[0].platform == "cpu"
-            b, t, _ = x.shape
-            d = self.dim // self.heads
-            out = window_attention(
-                x, None, None, None, heads=self.heads, scale=self.scale,
-                interpret=interpret,
-            )
-            # reference-parity counts: matmul-1 + matmul-2 (counting.py:165-175)
-            ctx.add("matmul_flops", 2.0 * b * self.heads * t * t * d)
+        if self._use_global_attention_kernel(ctx, x):
+            out = self._window_attention_fused(ctx, params, x, aux)
             return out, None, state
         x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         q, k, v = self._partition_heads(x)

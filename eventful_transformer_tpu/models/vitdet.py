@@ -162,9 +162,17 @@ class ViTDetPreprocessing:
         x = jnp.pad(x, pads)
         if content_hw is not None:
             content_hw = jnp.asarray(content_hw)
-            rows = jnp.arange(h) < content_hw[0]
-            cols = jnp.arange(w) < content_hw[1]
-            x = x * (rows[:, None] & cols[None, :]).astype(x.dtype)
+            if content_hw.ndim == 2:
+                # per-batch-element content sizes (B, 2) — the DP eval path
+                # runs one video per data shard, each with its own resize
+                rows = jnp.arange(h)[None, :] < content_hw[:, :1]  # (B, h)
+                cols = jnp.arange(w)[None, :] < content_hw[:, 1:2]  # (B, w)
+                mask = rows[:, None, :, None] & cols[:, None, None, :]
+                x = x * mask.astype(x.dtype)
+            else:
+                rows = jnp.arange(h) < content_hw[0]
+                cols = jnp.arange(w) < content_hw[1]
+                x = x * (rows[:, None] & cols[None, :]).astype(x.dtype)
         return x
 
 

@@ -68,3 +68,141 @@ def evaluate_vivit_metrics_dp(model, params, data, config, mesh):
     metrics = {"top_1": top_1.compute(), "top_5": top_5.compute()}
     counts = (total_counts / max(processed, 1)).nonzero()
     return {"metrics": metrics, "counts": counts}
+
+
+def make_sharded_vitdet_step(model, params, mesh, count_mode=True):
+    """One-video-per-data-shard ViTDet step: ``shard_map`` over the "data"
+    axis with a LOCAL batch of 1, so the whole per-frame pipeline
+    (pre_backbone -> backbone -> pyramid -> RPN -> ROI heads) runs
+    unchanged per shard — zero cross-chip traffic in the model (videos are
+    independent; the reference resets state per video), one ``psum`` for
+    the FLOP counts.
+
+    Returns ``step(state, frames, content_hw, first)`` where ``frames`` is
+    (D, C, H, W), ``content_hw`` (D, 2), ``state`` a batch-D model state,
+    and ``first`` selects the statically-split flush program (frame 0 of
+    every video in the lockstep group). Outputs gain a leading D axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from eventful_transformer_tpu.core.counting import Ctx
+
+    replicated = NamedSharding(mesh, P())
+    params = jax.device_put(params, replicated)
+    data_spec = P("data")
+    param_spec = jax.tree_util.tree_map(lambda _: P(), params)
+
+    def make(mode):
+        def local(p, state, frame, content_hw):
+            ctx = Ctx(count_mode=count_mode)
+            out, state = model.apply(
+                ctx, p, state, frame, content_hw=content_hw[0], mode=mode
+            )
+            counts = jax.lax.psum(ctx.counts, "data") if count_mode else {}
+            # local outputs are per-image (no batch axis); add one so the
+            # global result stacks videos on the leading axis
+            out = jax.tree_util.tree_map(lambda a: a[None], out)
+            return out, state, counts
+
+        def spec_of(tree, spec):
+            # scalar state leaves (e.g. the `first` flush flag) carry no
+            # batch axis and are identical across the lockstep group
+            return jax.tree_util.tree_map(
+                lambda a: spec if getattr(a, "ndim", 1) else P(), tree
+            )
+
+        def wrapped(state, frames, content_hw):
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    param_spec,
+                    spec_of(state, data_spec),
+                    data_spec,
+                    data_spec,
+                ),
+                out_specs=(data_spec, spec_of(state, data_spec), spec_of(
+                    {} if not count_mode else _count_spec_template(), P()
+                )),
+                check_vma=False,
+            )
+            return jax.jit(fn)(params, state, frames, content_hw)
+
+        return wrapped
+
+    def _count_spec_template():
+        from eventful_transformer_tpu.core.counting import zero_counts
+
+        return zero_counts()
+
+    flush, incremental = make("flush"), make("incremental")
+
+    def step(state, frames, content_hw, first):
+        return (flush if first else incremental)(state, frames, content_hw)
+
+    return step
+
+
+def evaluate_vitdet_metrics_dp(model, params, data, config, mesh):
+    """Data-parallel version of scripts/evaluate/vitdet_vid.py::
+    evaluate_vitdet_metrics: D videos run in lockstep, one per "data"
+    shard; short videos repeat their last frame (results masked out on
+    host). Metrics/counts match the sequential driver on the same items.
+    """
+    from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+
+    dp = mesh.shape["data"]
+    c, in_h, in_w = model.input_shape
+    mean_ap = MeanAveragePrecision()
+    step = make_sharded_vitdet_step(model, params, mesh)
+    n_items = min(config.get("n_items") or len(data), len(data))
+    total_counts = Counts()
+    n_frames = 0
+    for start in range(0, n_items, dp):
+        idx = [min(start + j, n_items - 1) for j in range(dp)]
+        videos = [data[i] for i in idx]
+        lengths = [len(v) for v in videos]
+        state = model.init_state(batch=dp)
+        for t in range(max(lengths)):
+            frames = np.zeros((dp, c, in_h, in_w), np.float32)
+            hw = np.zeros((dp, 2), np.int32)
+            anns = []
+            for j, vid in enumerate(videos):
+                frame, ann = vid[min(t, lengths[j] - 1)]
+                frame = np.asarray(frame, np.float32)
+                frames[j, :, : frame.shape[-2], : frame.shape[-1]] = frame
+                hw[j] = frame.shape[-2:]
+                anns.append(ann)
+            out, state, counts = step(state, frames, hw, t == 0)
+            masks = np.asarray(out["mask"])
+            boxes, scores, labels = (
+                np.asarray(out["boxes"]),
+                np.asarray(out["scores"]),
+                np.asarray(out["labels"]),
+            )
+            for j in range(dp):
+                if idx[j] != start + j or t >= lengths[j]:
+                    continue  # padding lane or repeated tail frame
+                mean_ap.update(
+                    [
+                        {
+                            "boxes": boxes[j][masks[j]],
+                            "scores": scores[j][masks[j]],
+                            "labels": labels[j][masks[j]],
+                        }
+                    ],
+                    [anns[j]],
+                )
+                n_frames += 1
+            # psum'd counts include padding lanes; scale to the valid share
+            valid = sum(
+                1
+                for j in range(dp)
+                if idx[j] == start + j and t < lengths[j]
+            )
+            total_counts = total_counts + Counts.from_device(counts) * (
+                valid / dp
+            )
+    metrics = mean_ap.compute()
+    counts = (total_counts / max(n_frames, 1)).nonzero()
+    return {"metrics": metrics, "counts": counts}

@@ -109,7 +109,19 @@ def main():
             short_edge_length=640 * long_edge // 1024, max_size=long_edge
         ),
     )
-    run_evaluations(config, ViTDet, data, evaluate_vitdet_metrics)
+    evaluate_fn = evaluate_vitdet_metrics
+    if config.get("data_parallel"):
+        # One video per "data"-axis shard (videos are independent: state
+        # resets per video); the whole per-frame pipeline runs unchanged
+        # per shard, counts psum over the mesh, mAP aggregates on host.
+        from eventful_transformer_tpu.parallel.evaluate import (
+            evaluate_vitdet_metrics_dp,
+        )
+        from eventful_transformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+        evaluate_fn = lambda m, p, d, c: evaluate_vitdet_metrics_dp(m, p, d, c, mesh)
+    run_evaluations(config, ViTDet, data, evaluate_fn)
 
 
 if __name__ == "__main__":

@@ -68,11 +68,14 @@ SLOW_TESTS = (
     "test_backbone.py::TestViViTForwardVariants::test_split_flush_matches_cond",
     "test_vitdet_eval_driver.py::test_eval_driver_bucketed_threshold",
     "test_detection.py::TestCascadeROIHeads::test_stage_weights_and_agnostic_shape",
-    "test_blocks_golden.py::TestEventfulBlocksGolden::test_full_budget_matches_dense",
     "test_detection.py::TestNMS::test_batched_groups_dont_suppress",
     "test_pallas.py::test_gate_group_in_kernel_topk",
-    "test_blocks_golden.py::TestThresholdPolicyInBlock::test_threshold_multi_frame_golden",
-    "test_vitdet_eval_driver.py::test_eval_driver_topk",
+    # Deliberately NOT slow-marked (round-4 advisor ask): one golden variant
+    # per correctness family stays in the default `pytest -q` selection —
+    # test_full_budget_matches_dense (eventful==dense oracle),
+    # test_threshold_multi_frame_golden (threshold policy), and
+    # test_eval_driver_topk (eval driver e2e) each cost ~15 s but guard the
+    # core semantics; the full set still runs with `-m ""`.
 )
 
 

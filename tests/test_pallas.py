@@ -633,7 +633,7 @@ def test_window_attention_kernel_eventful_tokenwise():
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
 
 
-def _global_block_pair(block_cls, rng):
+def _global_block_pair(block_cls):
     """Two identical NON-windowed blocks (the ViViT spatial/temporal shape:
     global attention, no pool/ATS/cast/rel-pos), fused global attention
     on/off."""
@@ -655,11 +655,12 @@ def _global_block_pair(block_cls, rng):
 def test_global_attention_kernel_dense():
     """Fused global attention (whole sequence as one window per batch row,
     the ViViT N=197 shape) == the XLA head-split path, dense Block, values
-    and counts; N=25 exercises a tile-unaligned token count (196 + class)."""
+    and counts; N=25 is a small tile-unaligned stand-in for the ViViT
+    197-token (196 + class) shape."""
     from eventful_transformer_tpu.core.counting import Counts, Ctx
 
     rng = np.random.default_rng(41)
-    blk_a, blk_b, params = _global_block_pair("Block", rng)
+    blk_a, blk_b, params = _global_block_pair("Block")
     x = jnp.asarray(rng.standard_normal((2, 25, 64)).astype(np.float32)) * 0.5
     ctx_a, ctx_b = Ctx(count_mode=True), Ctx(count_mode=True)
     ya, _ = blk_a.apply(ctx_a, params, {}, x)
@@ -681,7 +682,7 @@ def test_global_attention_kernel_eventful_tokenwise():
     from eventful_transformer_tpu.core.policies import TokenNormTopK
 
     rng = np.random.default_rng(43)
-    blk_a, blk_b, params = _global_block_pair("EventfulTokenwiseBlock", rng)
+    blk_a, blk_b, params = _global_block_pair("EventfulTokenwiseBlock")
     policy = TokenNormTopK(k=9)
     for blk in (blk_a, blk_b):
         for gate in blk.gates:

@@ -200,3 +200,39 @@ class TestUlyssesBackbone:
                 dim=32, heads=4, mlp_ratio=2, input_size=(4, 8),
                 window_size=[2, 2], sequence_parallel="seq",
             )
+
+
+class TestVitDetDataParallelEval:
+    """DP ViTDet eval (one video per data shard, shard_map with local
+    batch 1) matches the sequential eval driver on the same items:
+    identical mAP metrics and per-frame counts."""
+
+    def test_dp_matches_sequential(self, devices):
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+        from scripts.evaluate.vitdet_vid import evaluate_vitdet_metrics
+        from tests.test_vitdet_eval_driver import TINY, _SyntheticVID
+
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+        from eventful_transformer_tpu.models.vitdet import ViTDet
+        from eventful_transformer_tpu.parallel.evaluate import (
+            evaluate_vitdet_metrics_dp,
+        )
+        from eventful_transformer_tpu.utils.misc import set_policies
+
+        rng = np.random.default_rng(7)
+        data = _SyntheticVID(rng)
+        model = ViTDet(**TINY)
+        set_policies(model, TokenNormTopK, k=6)
+        params = model.init(jax.random.PRNGKey(0))
+        config = {"n_items": 2}
+
+        seq = evaluate_vitdet_metrics(model, params, data, config)
+        mesh = make_mesh((2,), ("data",), devices=devices[:2])
+        dp = evaluate_vitdet_metrics_dp(model, params, data, config, mesh)
+
+        for key, val in seq["metrics"].items():
+            np.testing.assert_allclose(
+                dp["metrics"][key], val, rtol=1e-4, atol=1e-5
+            )
+        for key, val in seq["counts"].items():
+            np.testing.assert_allclose(dp["counts"][key], val, rtol=1e-4), key
