@@ -206,3 +206,105 @@ def evaluate_vitdet_metrics_dp(model, params, data, config, mesh):
     metrics = mean_ap.compute()
     counts = (total_counts / max(n_frames, 1)).nonzero()
     return {"metrics": metrics, "counts": counts}
+
+
+def make_sequence_parallel_vitdet_step(model, params, mesh, axis="seq",
+                                       count_mode=True):
+    """Ulysses sequence-parallel ViTDet step: the backbone runs
+    token-sharded inside a ``shard_map`` over ``axis`` (each block's
+    ``sequence_parallel`` option issues the two all-to-alls that trade
+    tokens for heads — parallel/sequence.py design), while pre_backbone
+    and the detection head run replicated outside. Exact: attention per
+    head group is computed over the FULL sequence; counts psum to the
+    single-device totals.
+
+    Requires a dense global-attention backbone (``sequence_parallel`` set
+    in the block config, no windows/rel-pos) with N % P == 0 and
+    heads % P == 0.
+
+    Returns ``step(frame, content_hw) -> (out, counts)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from eventful_transformer_tpu.core.counting import Ctx
+
+    backbone = model.backbone
+    replicated = NamedSharding(mesh, P())
+    params = jax.device_put(params, replicated)
+    tok_spec = P(None, axis, None)
+
+    def local(p, tokens, aux):
+        ctx = Ctx(count_mode=count_mode)
+        y, _ = backbone.apply(
+            ctx, p, backbone.init_state(tokens.shape[0]), tokens, aux=aux
+        )
+        counts = jax.lax.psum(ctx.counts, axis) if count_mode else {}
+        return y, counts
+
+    def spec_of(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    @jax.jit
+    def step(p, frame, content_hw):
+        ctx = Ctx(count_mode=count_mode)
+        tokens = model.pre_backbone(ctx, p, frame, content_hw)
+        aux = backbone.precompute(p["backbone"])
+        sp_apply = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_of(p["backbone"], P()), tok_spec,
+                      spec_of(aux, tok_spec)),
+            out_specs=(tok_spec, spec_of(ctx.counts, P())),
+            check_vma=False,
+        )
+        tokens, bb_counts = sp_apply(p["backbone"], tokens, aux)
+        if count_mode:
+            # merge the psum'd backbone counts into the outer context
+            # (component-wise add keeps the compensated-pair invariant:
+            # value = sum + comp)
+            ctx.counts = jax.tree_util.tree_map(
+                lambda a, b: a + b, ctx.counts, bb_counts
+            )
+        out = model.post_backbone(ctx, p, tokens)
+        return out, ctx.counts
+
+    return lambda frame, content_hw: step(params, frame, content_hw)
+
+
+def evaluate_vitdet_metrics_sp(model, params, data, config, mesh, axis="seq"):
+    """Sequence-parallel version of the ViTDet eval driver (dense
+    backbone): per-frame mAP protocol unchanged, backbone token-sharded
+    over ``axis``."""
+    from eventful_transformer_tpu.detection.map_metric import MeanAveragePrecision
+
+    c, in_h, in_w = model.input_shape
+    mean_ap = MeanAveragePrecision()
+    step = make_sequence_parallel_vitdet_step(model, params, mesh, axis)
+    n_items = min(config.get("n_items") or len(data), len(data))
+    total_counts = Counts()
+    n_frames = 0
+    for i in range(n_items):
+        vid_item = data[i]
+        for t in range(len(vid_item)):
+            frame, annotations = vid_item[t]
+            frame = np.asarray(frame, np.float32)
+            padded = np.zeros((1, c, in_h, in_w), np.float32)
+            padded[0, :, : frame.shape[-2], : frame.shape[-1]] = frame
+            content_hw = np.asarray(frame.shape[-2:], np.int32)
+            out, counts = step(padded, content_hw)
+            mask = np.asarray(out["mask"])
+            mean_ap.update(
+                [
+                    {
+                        "boxes": np.asarray(out["boxes"])[mask],
+                        "scores": np.asarray(out["scores"])[mask],
+                        "labels": np.asarray(out["labels"])[mask],
+                    }
+                ],
+                [annotations],
+            )
+            total_counts = total_counts + Counts.from_device(counts)
+            n_frames += 1
+    metrics = mean_ap.compute()
+    counts = (total_counts / max(n_frames, 1)).nonzero()
+    return {"metrics": metrics, "counts": counts}

@@ -110,7 +110,21 @@ def main():
         ),
     )
     evaluate_fn = evaluate_vitdet_metrics
-    if config.get("data_parallel"):
+    if config.get("sequence_parallel"):
+        # Ulysses: backbone tokens sharded over a "seq" mesh axis (the
+        # model config must set block_config.sequence_parallel to the same
+        # axis name — see configs/evaluate/vitdet_vid/ulysses_smoke_672.yml).
+        from eventful_transformer_tpu.parallel.evaluate import (
+            evaluate_vitdet_metrics_sp,
+        )
+        from eventful_transformer_tpu.parallel.mesh import make_mesh
+
+        axis = str(config["sequence_parallel"])
+        sp_mesh = make_mesh((-1,), (axis,))
+        evaluate_fn = lambda m, p, d, c: evaluate_vitdet_metrics_sp(
+            m, p, d, c, sp_mesh, axis
+        )
+    elif config.get("data_parallel"):
         # One video per "data"-axis shard (videos are independent: state
         # resets per video); the whole per-frame pipeline runs unchanged
         # per shard, counts psum over the mesh, mAP aggregates on host.

@@ -236,3 +236,66 @@ class TestVitDetDataParallelEval:
             )
         for key, val in seq["counts"].items():
             np.testing.assert_allclose(dp["counts"][key], val, rtol=1e-4), key
+
+
+class TestVitDetSequenceParallelEval:
+    """Config-reachable Ulysses eval: dense global-attention ViTDet with
+    the backbone token-sharded over a "seq" axis matches the sequential
+    driver's mAP and FLOP counts exactly."""
+
+    def test_sp_matches_sequential(self, devices):
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+        from scripts.evaluate.vitdet_vid import evaluate_vitdet_metrics
+        from tests.test_vitdet_eval_driver import TINY, _SyntheticVID
+
+        from eventful_transformer_tpu.models.vitdet import ViTDet
+        from eventful_transformer_tpu.parallel.evaluate import (
+            evaluate_vitdet_metrics_sp,
+        )
+
+        cfg = {k: v for k, v in TINY.items()}
+        bb = dict(cfg["backbone_config"])
+        bb["window_indices"] = []
+        bb["block_class"] = "Block"
+        bb.pop("windowed_class", None)
+        blk = dict(bb["block_config"])
+        blk["window_size"] = None
+        bb["block_config"] = blk
+        cfg["backbone_config"] = bb
+
+        rng = np.random.default_rng(9)
+        data = _SyntheticVID(rng)
+        ref_model = ViTDet(**cfg)
+        params = ref_model.init(jax.random.PRNGKey(1))
+        config = {"n_items": 2}
+        seq = evaluate_vitdet_metrics(ref_model, params, data, config)
+
+        sp_cfg = {k: v for k, v in cfg.items()}
+        sp_bb = dict(sp_cfg["backbone_config"])
+        sp_blk = dict(sp_bb["block_config"])
+        sp_blk["sequence_parallel"] = "seq"
+        sp_bb["block_config"] = sp_blk
+        sp_cfg["backbone_config"] = sp_bb
+        sp_model = ViTDet(**sp_cfg)
+
+        mesh = make_mesh((2,), ("seq",), devices=devices[:2])
+        sp = evaluate_vitdet_metrics_sp(sp_model, params, data, config, mesh)
+
+        for key, val in seq["metrics"].items():
+            np.testing.assert_allclose(
+                sp["metrics"][key], val, rtol=1e-4, atol=1e-5
+            )
+        for key, val in seq["counts"].items():
+            np.testing.assert_allclose(sp["counts"][key], val, rtol=1e-4), key
+
+    def test_ulysses_smoke_config_composes(self):
+        from eventful_transformer_tpu.utils.config import load_config
+
+        config = load_config(
+            "configs/evaluate/vitdet_vid/ulysses_smoke_672.yml"
+        )
+        assert config["sequence_parallel"] == "seq"
+        bc = config["model"]["backbone_config"]
+        assert list(bc["window_indices"]) == []
+        assert bc["block_config"]["sequence_parallel"] == "seq"
+        assert bc["block_config"]["relative_embedding_size"] is None
