@@ -462,8 +462,9 @@ def main():
         "AV_KERNEL_MIN_COLS (re-measure the 672 dispatch with --fuse-mm1, "
         "whose traffic profile differs)")
     parser.add_argument("--fuse-mm1", action="store_true",
-        help="fuse matmul-1 (q-kT) into the A-V kernel on EventfulBlock "
-        "(vitdet workload); see EventfulBlock.fuse_matmul_1")
+        help="force matmul-1 fusion into the A-V kernel on EventfulBlock "
+        "even where the per-shape auto default would not dispatch it "
+        "(the auto rule follows av_kernel; see EventfulBlock.fuse_matmul_1)")
     parser.add_argument("--topk-in-kernel", action="store_true",
         help="force in-kernel radix-bisection top-k selection inside the "
         "fused gate-group kernels (vivit workload)")

@@ -1625,10 +1625,14 @@ class EventfulBlock(EventfulMatmul1Block):
     av_kernel = "auto"
     # Fuse matmul-1 (q·kT) into the A-V kernel so the (B, H, N, Np) logits
     # never exist in HBM (~400 MB of pure traffic per global block-frame at
-    # ViTDet-1024). CPU-parity-tested (tests/test_pallas.py); default OFF
-    # pending TPU verification — the TPU worker went down mid-measurement
-    # and an unverified kernel must not gate the driver benchmark.
-    fuse_matmul_1 = False
+    # ViTDet-1024). "auto" (default) fuses whenever the A-V kernel itself
+    # dispatches (same per-shape rule; the logits stop at that kernel
+    # anyway) and matmul-1 runs in product-recompute mode. TPU-verified
+    # round 4: parity exact on flush, bf16-level on incremental steps;
+    # ViTDet-1024 eventful 24.1 -> 22.7 ms/frame (ratio 1.74 -> 1.85).
+    # CPU-parity-tested in tests/test_pallas.py. False disables; True
+    # forces (with av_kernel; interpret mode off-TPU).
+    fuse_matmul_1 = "auto"
     AV_KERNEL_MIN_COLS = 512
 
     def _use_av_kernel(self, ctx, n_cols):
@@ -1661,7 +1665,7 @@ class EventfulBlock(EventfulMatmul1Block):
         # matmul-1 can only fuse when the bias also fuses (the XLA bias is
         # applied to the materialized logits, which fused matmul-1 removes).
         fuse_mm1 = (
-            self.fuse_matmul_1
+            self.fuse_matmul_1 is not False
             and use_kernel
             and self.recompute_product
             and (self.relative_position is None or fuse_bias)

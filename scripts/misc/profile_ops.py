@@ -86,7 +86,7 @@ def _category(name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("workload", choices=["vitdet", "vivit"])
+    ap.add_argument("workload", choices=["vitdet", "vivit", "vitdet-e2e"])
     ap.add_argument("--eventful", action="store_true")
     ap.add_argument("--size", type=int, default=672)
     ap.add_argument("--k", type=int, default=256)
@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--clips", type=int, default=8)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--streams", type=int, default=2,
+        help="independent video streams (batch) for the vitdet backbone")
+    ap.add_argument("--fuse-mm1", action="store_true")
+    ap.add_argument("--av-kernel", action="store_true")
     ap.add_argument("--filter", default=None, help="only list ops matching this regex")
     ap.add_argument("--fused", default=None)
     ap.add_argument("--block", default=None)
@@ -109,6 +113,8 @@ def main():
         from eventful_transformer_tpu.utils.timing import scalar_probe
         from functools import partial
 
+        from eventful_transformer_tpu.core.blocks import EventfulBlock
+
         model = bench.build_vitdet_backbone(args.eventful, args.size)
         if args.eventful:
             for blk in model.blocks:
@@ -116,6 +122,11 @@ def main():
                     gate.policy = TokenNormTopK(k=args.k)
                 if args.fused is not None:
                     blk.fused_gates = {"False": False}.get(args.fused, args.fused)
+                if isinstance(blk, EventfulBlock):
+                    if args.fuse_mm1:
+                        blk.fuse_matmul_1 = True
+                    if args.av_kernel:
+                        blk.av_kernel = True
         params = model.init(jax.random.PRNGKey(0))
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -124,7 +135,7 @@ def main():
         n = (args.size // 16) ** 2
         frames = jnp.asarray(
             np.random.default_rng(0)
-            .standard_normal((args.frames, 2, n, 768))
+            .standard_normal((args.frames, args.streams, n, 768))
             .astype(np.float32)
         ).astype(jnp.bfloat16)
 
@@ -142,10 +153,58 @@ def main():
         jit_fwd = jax.jit(
             partial(fwd, mode="incremental" if args.eventful else None)
         )
-        state0 = model.init_state(2, jnp.bfloat16)
+        state0 = model.init_state(args.streams, jnp.bfloat16)
         state, probe = jax.jit(
             partial(fwd, mode="flush" if args.eventful else None)
         )(params, state0, frames[:1])
+        float(probe)
+        float(jit_fwd(params, state, frames)[1])  # warm
+        run = lambda: float(jit_fwd(params, state, frames)[1])
+    elif args.workload == "vitdet-e2e":
+        # batch-1 full pipeline (bench.bench_vitdet_e2e setup, one side)
+        from functools import partial
+
+        from eventful_transformer_tpu.core.counting import Ctx
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+        from eventful_transformer_tpu.models.vitdet import ViTDet
+        from eventful_transformer_tpu.utils.config import load_config
+        from eventful_transformer_tpu.utils.misc import set_policies
+        from eventful_transformer_tpu.utils.timing import scalar_probe
+
+        name = (
+            f"spatiotemporal_{args.size}" if args.eventful else f"base_{args.size}"
+        )
+        config = load_config(f"configs/evaluate/vitdet_vid/{name}.yml")
+        model = ViTDet(**config["model"])
+        if args.eventful:
+            set_policies(model, TokenNormTopK, k=args.k)
+        params = model.init(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params,
+        )
+        frames = jnp.asarray(
+            np.random.default_rng(0)
+            .random((8, 1, 3, args.size, args.size), dtype=np.float32)
+        ).astype(jnp.bfloat16)
+
+        def fwd(p, state, fr, mode=None):
+            aux = model.precompute(p)
+
+            def body(carry, frame):
+                out, s = model.apply(Ctx(), p, carry, frame, aux, mode=mode)
+                return s, scalar_probe(out)
+
+            state, probes = jax.lax.scan(body, state, fr)
+            return state, jnp.sum(probes)
+
+        jit_fwd = jax.jit(
+            partial(fwd, mode="incremental" if args.eventful else None)
+        )
+        state = model.init_state(1, jnp.bfloat16)
+        state, probe = jax.jit(
+            partial(fwd, mode="flush" if args.eventful else None)
+        )(params, state, frames[:1])
         float(probe)
         float(jit_fwd(params, state, frames)[1])  # warm
         run = lambda: float(jit_fwd(params, state, frames)[1])
