@@ -48,7 +48,7 @@ except Exception:
 
 def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
                 block_class="EventfulTokenwiseBlock", fused=None,
-                topk_in_kernel=False):
+                topk_in_kernel=False, no_share=False):
     from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
     from eventful_transformer_tpu.core.gating import TokenGate
     from eventful_transformer_tpu.core.policies import TokenNormTopK
@@ -88,6 +88,9 @@ def build_model(eventful, k, views, frames, size=224, budget_cast="bfloat16",
         if topk_in_kernel:
             for blk in model.modules_of_type(EventfulTokenwiseBlock):
                 blk.in_kernel_topk = True
+        if no_share:
+            for blk in model.modules_of_type(EventfulTokenwiseBlock):
+                blk.share_gate_passes = False
     return model
 
 
@@ -172,6 +175,8 @@ def bench_vitdet(args, size):
             for blk in model.blocks:
                 for gate in blk.modules_of_type(TokenGate):
                     gate.policy = TokenNormTopK(k=k)
+                if getattr(args, "no_share", False):
+                    blk.share_gate_passes = False
                 if isinstance(blk, EventfulBlock):
                     if args.fuse_mm1:
                         blk.fuse_matmul_1 = True
@@ -360,6 +365,7 @@ def bench_vivit_throughput(args):
     eventful = build_model(
         True, k, args.views, args.frames, args.size, block_class=args.block,
         fused=args.fused, topk_in_kernel=args.topk_in_kernel,
+        no_share=args.no_share,
     )
     eventful.frame_scan_unroll = args.vivit_unroll
     # Interleaved A/B: clock/platform drift hits both paths alike.
@@ -465,6 +471,9 @@ def main():
         help="force matmul-1 fusion into the A-V kernel on EventfulBlock "
         "even where the per-shape auto default would not dispatch it "
         "(the auto rule follows av_kernel; see EventfulBlock.fuse_matmul_1)")
+    parser.add_argument("--no-share", action="store_true",
+        help="disable gate-pass sharing (the proj/MLP kernels' next-gate "
+        "norms emission; A/B lever for docs/PERF_NOTES.md round 4)")
     parser.add_argument("--topk-in-kernel", action="store_true",
         help="force in-kernel radix-bisection top-k selection inside the "
         "fused gate-group kernels (vivit workload)")

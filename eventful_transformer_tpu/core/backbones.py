@@ -155,13 +155,67 @@ class ViTBackbone(Module):
         if "blocks_stacked" in state:
             return self._apply_scanned(ctx, params, state, x, aux, mode)
         new_states = []
+        norms_carry = None
         for i, block in enumerate(self.blocks):
-            x, s = block.apply(
+            give = None
+            if mode == "incremental" and i + 1 < len(self.blocks):
+                give = self._next_gate_info(
+                    block, self.blocks[i + 1], x,
+                    state["blocks"][i + 1], params["blocks"][i + 1],
+                )
+            out = block.apply(
                 ctx, params["blocks"][i], state["blocks"][i], x, aux["blocks"][i],
                 mode=mode,
+                **(
+                    dict(qkv_norms=norms_carry, next_gate=give)
+                    if (norms_carry is not None or give is not None)
+                    else {}
+                ),
             )
+            if give is not None:
+                x, s, norms_carry = out
+            else:
+                x, s = out
+                norms_carry = None
             new_states.append(s)
         return x, {"blocks": new_states}
+
+    @staticmethod
+    def _next_gate_info(block, nxt, x, next_state, next_params):
+        """Cross-block gate-pass sharing eligibility (docs/PERF_NOTES.md
+        round 4): block i's MLP group kernel emits block i+1's qkv-gate
+        selection norms from the output block in VMEM, saving the next
+        norms pass's re-read of the activation from HBM. Requires: both
+        blocks eventful-tokenwise with kernel-fused gate groups, gate after
+        LN (post-domain norms), no ATS/STGT/drop-path (fused modes exclude
+        those), matching token counts, and an L2 top-k/threshold policy
+        (all norms-consuming)."""
+        from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+
+        for b in (block, nxt):
+            if not isinstance(b, EventfulTokenwiseBlock):
+                return None
+            if b.gate_before_ln or b.stgt or b.ats_fraction is not None:
+                return None
+            if getattr(b, "share_gate_passes", False) is False:
+                return None
+        n = x.shape[-2]
+        if block.out_tokens(n) != n:
+            return None
+        # v2mlp is EXCLUDED: its qkv consumer computes norms inside an XLA
+        # fusion that costs less than the emission adds to the MLP kernel
+        # (measured ViViT k=98: 1.076x no-share vs 1.041x shared —
+        # docs/PERF_NOTES.md round 4). Only the v2/blocked consumers, whose
+        # norms are a separate ln_norms kernel pass, can win.
+        if block._fused_mode(n) not in ("v2", "blocked"):
+            return None
+        if getattr(nxt.qkv_gate.policy, "order", 2) != 2:
+            return None
+        p_next = next_state.get("qkv_gate", {}).get("p")
+        if p_next is None or p_next.shape[-1] != block.dim:
+            return None
+        ln = next_params["input_layer_norm"]
+        return (p_next, ln["scale"], ln["bias"])
 
     def _apply_scanned(self, ctx, params, state, x, aux, mode=None):
         import jax

@@ -657,6 +657,13 @@ class EventfulTokenwiseBlock(Block):
         #             True == "v2");
         #   False   — always unfused.
         self.fused_gates = "auto"
+        # Gate-pass sharing (round 4): the projection/MLP group kernels
+        # emit the NEXT gate's selection norms from their output block in
+        # VMEM, saving the norms pass's re-read of that activation from
+        # HBM (within-block: proj kernel -> MLP gate; cross-block via
+        # ViTBackbone.apply: MLP kernel -> next block's qkv gate). False
+        # disables (A/B lever; docs/PERF_NOTES.md round 4).
+        self.share_gate_passes = "auto"
 
     # Per-shape fusion thresholds (measured on TPU v5e, docs/PERF_NOTES.md):
     #   n <= V2MLP_MAX: "v2mlp" — XLA recompute qkv/proj + v2 MLP kernel.
@@ -733,9 +740,13 @@ class EventfulTokenwiseBlock(Block):
             )
         return state
 
-    def apply(self, ctx: Ctx, params, state, x, aux=None, mode=None):
+    def apply(self, ctx: Ctx, params, state, x, aux=None, mode=None,
+              qkv_norms=None, next_gate=None):
         """``mode``: None dispatches on ``state['first']`` via ``lax.cond``;
-        "flush" / "incremental" select the branch STATICALLY. Callers whose
+        "flush" / "incremental" select the branch STATICALLY.
+        ``qkv_norms`` / ``next_gate``: cross-block gate-pass sharing
+        (incremental mode only; see ViTBackbone.apply) — with ``next_gate``
+        the return gains a third element (the next block's qkv norms). Callers whose
         frame index determines flush-ness (every per-video scan: frame 0
         flushes, the rest are incremental) should split flush-then-scan —
         a cond inside the hot loop makes XLA materialize layout copies of
@@ -744,7 +755,10 @@ class EventfulTokenwiseBlock(Block):
         if mode == "flush":
             return self._apply_flush(ctx, params, state, x, aux)
         if mode == "incremental":
-            return self._apply_incremental(ctx, params, state, x, aux)
+            return self._apply_incremental(
+                ctx, params, state, x, aux, qkv_norms=qkv_norms,
+                next_gate=next_gate,
+            )
         return counting.cond(
             state["first"], self._apply_flush, self._apply_incremental,
             (params, state, x, aux), ctx,
@@ -769,7 +783,7 @@ class EventfulTokenwiseBlock(Block):
             )
         x, ats_indices, state = self._attention_flush(ctx, params, state, x, aux)
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
-        x = self._post_attention(ctx, params, state, x, skip_1, flush=True)
+        x, _ = self._post_attention(ctx, params, state, x, skip_1, flush=True)
         return x, state
 
     # Whether _attention_incremental consumes the qkv gate's selection
@@ -782,11 +796,16 @@ class EventfulTokenwiseBlock(Block):
 
     # -- incremental path ------------------------------------------------------
 
-    def _apply_incremental(self, ctx, params, state, x, aux):
+    def _apply_incremental(self, ctx, params, state, x, aux, qkv_norms=None,
+                           next_gate=None):
         state = dict(state)
         skip_1 = x
         # Pallas kernels have no VJP here; training runs the XLA paths.
         mode = False if ctx.training else self._fused_mode(x.shape[-2])
+        # Precomputed qkv-gate norms (cross-block pass sharing) are only
+        # valid in the post-LN gate domain.
+        if self.gate_before_ln:
+            qkv_norms = None
         if mode == "v2":
             ln_mode = "pre" if self.gate_before_ln else "post"
             (p_new, b_new), index, mask = self._v2_group_linear(
@@ -800,6 +819,7 @@ class EventfulTokenwiseBlock(Block):
                 self.qkv,
                 params["qkv"],
                 need_index=self._attention_uses_index,
+                norms=qkv_norms,
             )
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
@@ -815,6 +835,7 @@ class EventfulTokenwiseBlock(Block):
                 "pre" if self.gate_before_ln else "post",
                 self.qkv,
                 params["qkv"],
+                norms=qkv_norms,
             )
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
@@ -842,7 +863,7 @@ class EventfulTokenwiseBlock(Block):
             ln = params["input_layer_norm"]
             c = x if self.gate_before_ln else layer_norm(x, ln, LN_EPS)
             kcap, state["qkv_gate"] = self.qkv_gate.incremental_select(
-                ctx, state["qkv_gate"], c
+                ctx, state["qkv_gate"], c, norms=qkv_norms
             )
             index, mask = None, None
             p = state["qkv_gate"]["p"]
@@ -872,7 +893,11 @@ class EventfulTokenwiseBlock(Block):
             ctx, params, state, x, index, mask, aux
         )
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
-        x = self._post_attention(ctx, params, state, x, skip_1, flush=False)
+        x, next_norms = self._post_attention(
+            ctx, params, state, x, skip_1, flush=False, next_gate=next_gate
+        )
+        if next_gate is not None:
+            return x, state, next_norms
         return x, state
 
     def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
@@ -1036,13 +1061,15 @@ class EventfulTokenwiseBlock(Block):
 
     # -- blocked large-N fused kernels (ops/pallas/gate_block.py) -------------
 
-    def _blocked_select(self, ctx, gate, gate_state, x, ln_params, ln_mode):
+    def _blocked_select(self, ctx, gate, gate_state, x, ln_params, ln_mode,
+                        norms=None):
         """Selection front half for the blocked large-N path: error norms ->
         policy -> SORTED indices, coverage and rank (each selected token's
         prefix position among the selected, in sorted-index order — the row
         order of the compacted op input). Selection order is semantically
         free: every consumer is positional (scatters by token position,
-        deduped pooled indices, forced col gates). Returns
+        deduped pooled indices, forced col gates). ``norms``: precomputed by
+        an upstream kernel (pass sharing) — skips the norms pass. Returns
         (s_index, s_mask, cov, rank, interpret)."""
         import jax
 
@@ -1052,7 +1079,9 @@ class EventfulTokenwiseBlock(Block):
         interpret = jax.devices()[0].platform == "cpu"
         p = gate_state["p"]
         ctx.add("gate_flops", x.size)
-        if ln_mode == "post":
+        if norms is not None:
+            pass
+        elif ln_mode == "post":
             norms = ln_norms(
                 x, p, ln_params["scale"], ln_params["bias"], interpret=interpret
             )
@@ -1070,9 +1099,18 @@ class EventfulTokenwiseBlock(Block):
             values, index = jax.lax.top_k(norms, k)
             from eventful_transformer_tpu.core.indexing import coverage_from_kth
 
-            s_index = jnp.sort(index.astype(jnp.int32), axis=-1)
+            s_index = index.astype(jnp.int32)
             s_mask = None
             cov = coverage_from_kth(norms, values[..., k - 1 : k], k)
+            # rank in TOP-K order via a tiny scatter of arange(k) — selection
+            # order is semantically free (all consumers positional), and the
+            # sorted-order alternative costs a (B, k) index sort per select
+            # (measured 21 us x 36 selects/frame at ViTDet-1024) plus an
+            # (N,)-lane cumsum for the rank.
+            rank = jnp.zeros(norms.shape, jnp.float32).at[
+                jnp.arange(s_index.shape[0])[:, None], s_index
+            ].set(jnp.arange(k, dtype=jnp.float32)[None, :], mode="drop")
+            return s_index, s_mask, cov, rank, interpret
         else:
             index, mask = pol.select_from_norms(norms, ctx)
             if mask is None:
@@ -1092,17 +1130,20 @@ class EventfulTokenwiseBlock(Block):
 
     def _blocked_group_linear(
         self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
-        linear_params, skip=None,
+        linear_params, skip=None, norms=None, next_gate=None,
     ):
         """Blocked gate -> k-row linear -> buffer blend (-> skip-add): the
         op runs in XLA on the compacted rows; one tiled kernel does every
-        full-size state pass. Returns (kernel outputs, s_index, s_mask)."""
+        full-size state pass. ``norms``: precomputed selection norms (pass
+        sharing); ``next_gate`` (p_next, scale, bias): emit the next gate's
+        norms from the y block (requires ``skip``). Returns
+        (kernel outputs, s_index, s_mask)."""
         from eventful_transformer_tpu.ops.pallas.gate_block import (
             block_select_scatter,
         )
 
         s_index, s_mask, cov, rank, interpret = self._blocked_select(
-            ctx, gate, gate_state, x, ln_params, ln_mode
+            ctx, gate, gate_state, x, ln_params, ln_mode, norms=norms
         )
         c = take_rows(x, s_index)
         if ln_mode != "none":
@@ -1116,14 +1157,20 @@ class EventfulTokenwiseBlock(Block):
             bias = jnp.zeros((x.shape[-1],), jnp.float32)
         else:
             scale, bias = ln_params["scale"], ln_params["bias"]
+        p_next, n_scale, n_bias = next_gate or (None, None, None)
         outs = block_select_scatter(
             x, gate_state["p"], buf_state["b"], cov, rank, h, scale, bias,
-            skip, apply_ln=(ln_mode == "post"), interpret=interpret,
+            skip, p_next, n_scale, n_bias,
+            apply_ln=(ln_mode == "post"), interpret=interpret,
         )
         return outs, s_index, s_mask
 
-    def _blocked_group_mlp(self, ctx, params, state, x):
-        """Blocked gate -> k-row MLP -> buffer blend -> residual."""
+    def _blocked_group_mlp(self, ctx, params, state, x, norms=None,
+                           next_gate=None):
+        """Blocked gate -> k-row MLP -> buffer blend -> residual. ``norms``:
+        precomputed selection norms; ``next_gate``: emit the next block's
+        qkv-gate norms from the y block (pass sharing). Returns
+        (y, state, next_norms)."""
         from eventful_transformer_tpu.ops.pallas.gate_block import (
             block_select_scatter,
         )
@@ -1131,36 +1178,46 @@ class EventfulTokenwiseBlock(Block):
         ln_params = params["mlp_layer_norm"]
         ln_mode = "pre" if self.gate_before_ln else "post"
         s_index, s_mask, cov, rank, interpret = self._blocked_select(
-            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode
+            ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode,
+            norms=norms,
         )
         c = layer_norm(take_rows(x, s_index), ln_params, LN_EPS)
         h = self._forward_mlp(ctx, params, c, valid_frac=valid_fraction(s_mask))
-        p_new, b_new, y = block_select_scatter(
+        p_next, n_scale, n_bias = next_gate or (None, None, None)
+        outs = block_select_scatter(
             x, state["mlp_gate"]["p"], state["mlp_accumulator"]["b"], cov,
-            rank, h, ln_params["scale"], ln_params["bias"],
+            rank, h, ln_params["scale"], ln_params["bias"], None,
+            p_next, n_scale, n_bias,
             apply_ln=(ln_mode == "post"), residual_x=True, interpret=interpret,
         )
+        p_new, b_new, y = outs[:3]
+        next_norms = outs[3] if next_gate is not None else None
         state["mlp_gate"] = {"p": p_new}
         state["mlp_accumulator"] = {"b": b_new}
         ctx.add("add_flops", y.size)
-        return y, state
+        return y, state, next_norms
 
     def _v2_group_linear(
         self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
-        linear_params, skip=None, need_index=False,
+        linear_params, skip=None, need_index=False, norms=None, next_gate=None,
     ):
         """Fused gate -> gathered linear -> buffer blend (-> skip-add).
-        Returns (kernel outputs, index, mask); reference-parity counts."""
+        ``norms``: precomputed selection norms (pass sharing); ``next_gate``
+        (p_next, scale, bias): emit the next gate's norms from the y block
+        (requires ``skip``). Returns (kernel outputs, index, mask);
+        reference-parity counts."""
         from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_linear
 
         kcap, index, mask, cov, interpret = self._v2_select(
-            ctx, gate, gate_state, x, ln_params, ln_mode, need_index=need_index
+            ctx, gate, gate_state, x, ln_params, ln_mode, norms=norms,
+            need_index=need_index,
         )
         if ln_mode == "none":
             scale = jnp.ones((x.shape[-1],), jnp.float32)
             bias = jnp.zeros((x.shape[-1],), jnp.float32)
         else:
             scale, bias = ln_params["scale"], ln_params["bias"]
+        p_next, n_scale, n_bias = next_gate or (None, None, None)
         outs = gate_group_linear(
             x,
             gate_state["p"],
@@ -1171,6 +1228,9 @@ class EventfulTokenwiseBlock(Block):
             linear_params["kernel"],
             linear_params["bias"],
             skip,
+            p_next,
+            n_scale,
+            n_bias,
             ln_mode=ln_mode,
             kcap=kcap,
             interpret=interpret,
@@ -1181,9 +1241,11 @@ class EventfulTokenwiseBlock(Block):
         ctx.add("bias_flops", frac * float(rows * linear.out_features))
         return outs, index, mask
 
-    def _v2_group_mlp(self, ctx, params, state, x, norms=None):
+    def _v2_group_mlp(self, ctx, params, state, x, norms=None, next_gate=None):
         """Fused gate -> gathered 2-layer MLP -> buffer blend -> residual.
-        The hidden activation never leaves VMEM."""
+        The hidden activation never leaves VMEM. ``next_gate``: emit the
+        next block's qkv-gate norms from the y block (pass sharing).
+        Returns (y, state, next_norms)."""
         from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_mlp
 
         ln_params = params["mlp_layer_norm"]
@@ -1191,7 +1253,8 @@ class EventfulTokenwiseBlock(Block):
         kcap, index, mask, cov, interpret = self._v2_select(
             ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode, norms=norms
         )
-        p_new, b_new, y = gate_group_mlp(
+        p_next, n_scale, n_bias = next_gate or (None, None, None)
+        outs = gate_group_mlp(
             x,
             state["mlp_gate"]["p"],
             state["mlp_accumulator"]["b"],
@@ -1202,10 +1265,15 @@ class EventfulTokenwiseBlock(Block):
             params["mlp_1"]["bias"],
             params["mlp_2"]["kernel"],
             params["mlp_2"]["bias"],
+            p_next,
+            n_scale,
+            n_bias,
             ln_mode=ln_mode,
             kcap=kcap,
             interpret=interpret,
         )
+        p_new, b_new, y = outs[:3]
+        next_norms = outs[3] if next_gate is not None else None
         state["mlp_gate"] = {"p": p_new}
         state["mlp_accumulator"] = {"b": b_new}
         frac = (kcap / x.shape[-2]) * valid_fraction(mask)
@@ -1216,7 +1284,7 @@ class EventfulTokenwiseBlock(Block):
         ctx.add("linear_flops", frac * float(rows * hidden * self.mlp_2.out_features))
         ctx.add("bias_flops", frac * float(rows * self.mlp_2.out_features))
         ctx.add("add_flops", y.size)
-        return y, state
+        return y, state, next_norms
 
     def _gate_ln(self, ctx, ln_params, gate, gate_state, x):
         """Gate placement around layer norm (reference blocks.py:440-461)."""
@@ -1228,14 +1296,32 @@ class EventfulTokenwiseBlock(Block):
             x_t, index, mask, gate_state = gate.incremental(ctx, gate_state, x)
         return x_t, index, mask, gate_state
 
-    def _post_attention(self, ctx, params, state, x, skip_1, flush):
+    def _post_attention(self, ctx, params, state, x, skip_1, flush,
+                        next_gate=None):
         """Projection and MLP gate→op→buffer groups
-        (reference blocks.py:430-450)."""
+        (reference blocks.py:430-450). ``next_gate``: the next block's
+        (p_qkv, ln_scale, ln_bias) for cross-block norms emission from the
+        MLP kernel. Returns (x, next_norms)."""
         mode = False if (flush or ctx.training) else self._fused_mode(x.shape[-2])
+        # Within-block pass sharing: the projection group's kernel emits the
+        # MLP gate's selection norms from the y block in VMEM (saves the
+        # MLP norms pass re-reading y from HBM).
+        own_mlp = None
+        if (
+            mode in ("v2", "blocked")
+            and self.share_gate_passes is not False
+            and not self.gate_before_ln
+            and "mlp_gate" in state
+        ):
+            own_mlp = (
+                state["mlp_gate"]["p"],
+                params["mlp_layer_norm"]["scale"],
+                params["mlp_layer_norm"]["bias"],
+            )
         if mode == "v2":
             # Whole-group fused kernel: folds the skip-add in; the counted
             # add below is replicated manually.
-            (p_new, b_new, x), _, _ = self._v2_group_linear(
+            outs, _, _ = self._v2_group_linear(
                 ctx,
                 self.projection_gate,
                 state["projection_gate"],
@@ -1246,13 +1332,19 @@ class EventfulTokenwiseBlock(Block):
                 self.projection,
                 params["projection"],
                 skip=skip_1,
+                next_gate=own_mlp,
             )
+            p_new, b_new, x = outs[:3]
+            mlp_norms = outs[3] if own_mlp is not None else None
             state["projection_gate"] = {"p": p_new}
             state["projection_accumulator"] = {"b": b_new}
             ctx.add("add_flops", x.size)
-            return self._post_projection(ctx, params, state, x, mode, flush)
+            return self._post_projection(
+                ctx, params, state, x, mode, flush, mlp_norms=mlp_norms,
+                next_gate=next_gate,
+            )
         if mode == "blocked":
-            (p_new, b_new, x), _, _ = self._blocked_group_linear(
+            outs, _, _ = self._blocked_group_linear(
                 ctx,
                 self.projection_gate,
                 state["projection_gate"],
@@ -1263,11 +1355,17 @@ class EventfulTokenwiseBlock(Block):
                 self.projection,
                 params["projection"],
                 skip=skip_1,
+                next_gate=own_mlp,
             )
+            p_new, b_new, x = outs[:3]
+            mlp_norms = outs[3] if own_mlp is not None else None
             state["projection_gate"] = {"p": p_new}
             state["projection_accumulator"] = {"b": b_new}
             ctx.add("add_flops", x.size)
-            return self._post_projection(ctx, params, state, x, mode, flush)
+            return self._post_projection(
+                ctx, params, state, x, mode, flush, mlp_norms=mlp_norms,
+                next_gate=next_gate,
+            )
         if mode == "v3":
             # Whole projection group + skip-add + the MLP gate's norms in ONE
             # kernel (ops/pallas/gate_fused.py::select_linear_skip_norms) —
@@ -1303,7 +1401,8 @@ class EventfulTokenwiseBlock(Block):
             ctx.add("bias_flops", frac * float(rows * self.projection.out_features))
             ctx.add("add_flops", x.size)
             return self._post_projection(
-                ctx, params, state, x, mode, flush, mlp_norms=mlp_norms
+                ctx, params, state, x, mode, flush, mlp_norms=mlp_norms,
+                next_gate=next_gate,
             )
         if flush:
             _, state["projection_gate"] = self.projection_gate.flush(
@@ -1356,19 +1455,29 @@ class EventfulTokenwiseBlock(Block):
                     )
                 )
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_1)
-        return self._post_projection(ctx, params, state, x, mode, flush)
+        return self._post_projection(
+            ctx, params, state, x, mode, flush, next_gate=next_gate
+        )
 
-    def _post_projection(self, ctx, params, state, x, mode, flush, mlp_norms=None):
+    def _post_projection(self, ctx, params, state, x, mode, flush,
+                         mlp_norms=None, next_gate=None):
         """The MLP gate→op→buffer group, with its own fusion mode (the v2
         MLP kernel is the clearest per-shape win: the hidden activation
-        never leaves VMEM). ``mlp_norms``: gate norms precomputed by the v3
-        fused projection kernel."""
+        never leaves VMEM). ``mlp_norms``: gate norms precomputed by an
+        upstream fused kernel (the v3 projection kernel, or the v2/blocked
+        projection group's norms emission). ``next_gate``: the NEXT block's
+        (p_qkv, ln_scale, ln_bias) — the MLP kernel emits that gate's norms
+        (cross-block pass sharing). Returns (x, next_norms)."""
         if mode == "blocked" and not flush:
-            x, state = self._blocked_group_mlp(ctx, params, state, x)
-            return x
+            x, state, next_norms = self._blocked_group_mlp(
+                ctx, params, state, x, norms=mlp_norms, next_gate=next_gate
+            )
+            return x, next_norms
         if mode in ("v2", "v2mlp", "v1v2", "v3") and not flush:
-            x, state = self._v2_group_mlp(ctx, params, state, x, norms=mlp_norms)
-            return x
+            x, state, next_norms = self._v2_group_mlp(
+                ctx, params, state, x, norms=mlp_norms, next_gate=next_gate
+            )
+            return x, next_norms
         skip_2 = x
         if flush:
             if self.gate_before_ln:
@@ -1399,7 +1508,7 @@ class EventfulTokenwiseBlock(Block):
                 state["mlp_accumulator"], x_t, index, mask
             )
         x = counted_add(ctx, self.drop_path.apply(ctx, None, x), skip_2)
-        return x
+        return x, None
 
 
 class EventfulMatmul1Block(EventfulTokenwiseBlock):

@@ -87,20 +87,24 @@ class TokenGate:
             and not self.policy.save_status
         )
 
-    def incremental_select(self, ctx: Ctx, state, c):
+    def incremental_select(self, ctx: Ctx, state, c, norms=None):
         """Gate-state update WITHOUT gathering the selected rows — for
         consumers that recompute the op from the reference state (the
         buffer-free groups in core/blocks.py). Skips the (…, k, C) row
         gather, the index materialization, and the (…, k, N) one-hot that
         :func:`coverage` builds: selection comes straight from the norms
         (:func:`core.indexing.coverage_from_norms`, exact top-k semantics).
-        Only valid when :meth:`select_only_ok`. Returns (kcap, state)."""
+        Only valid when :meth:`select_only_ok`. ``norms``: precomputed
+        error norms from an upstream kernel (pass sharing; requires
+        order-2 post-LN gating — the caller guarantees the domain matches).
+        Returns (kcap, state)."""
         from eventful_transformer_tpu.core.indexing import coverage_from_norms
         from eventful_transformer_tpu.core.policies import _vector_norm
 
         ctx.add("gate_flops", c.size)
         p = state["p"]
-        norms = _vector_norm(c - p, -1, self.policy.order)
+        if norms is None:
+            norms = _vector_norm(c - p, -1, self.policy.order)
         kcap = self.policy.capacity(c.shape[-2])
         cov = coverage_from_norms(norms, kcap)
         p = jnp.where(cov[..., None] > 0, c, p)

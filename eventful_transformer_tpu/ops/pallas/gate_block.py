@@ -57,11 +57,18 @@ from eventful_transformer_tpu.ops.pallas.common import (  # noqa: F401,E402
 )
 
 
-def _make_kernel(apply_ln, out_mode):
+def _make_kernel(apply_ln, out_mode, emit_norms=False):
     """out_mode: None (p', b' only), "skip" (+ y = b' + skip input),
-    "x" (+ y = b' + x input — the MLP group's residual)."""
+    "x" (+ y = b' + x input — the MLP group's residual).
+    ``emit_norms`` (requires an out_mode): extra inputs p_next/scale/bias,
+    extra output = next-gate post-LN error norms of the y block."""
 
     def kernel(*refs):
+        if emit_norms:
+            # extra inputs precede the outputs; norms output comes last
+            *refs, norms_out = refs
+            pn_ref, ns_ref, nb_ref = refs[-6], refs[-5], refs[-4]
+            refs = refs[:-6] + refs[-3:]
         if out_mode == "skip":
             (x_ref, p_ref, b_ref, skip_ref, cov_ref, rank_ref, h_ref,
              scale_ref, bias_ref, p_out, b_out, y_out) = refs
@@ -98,10 +105,23 @@ def _make_kernel(apply_ln, out_mode):
         ).astype(b_out.dtype)
         y = jnp.where(covc, scattered, b_ref[0])
         b_out[0] = y
+        yv = None
         if out_mode == "skip":
-            y_out[0] = (y + skip_ref[0]).astype(y_out.dtype)
+            yv = (y + skip_ref[0]).astype(y_out.dtype)
+            y_out[0] = yv
         elif out_mode == "x":
-            y_out[0] = (y + x_ref[0]).astype(y_out.dtype)
+            yv = (y + x_ref[0]).astype(y_out.dtype)
+            y_out[0] = yv
+        if emit_norms:
+            # next-gate error norms on the ROUNDED output block while it is
+            # still in VMEM: ||ln(y)*s + b - p_next|| per token, f32 — the
+            # next gate's selection front reads these instead of re-reading
+            # y from HBM (pass sharing, docs/PERF_NOTES.md round 4)
+            nl = _ln_f32(
+                yv, ns_ref[0].astype(jnp.float32), nb_ref[0].astype(jnp.float32)
+            )
+            en = nl - pn_ref[0].astype(jnp.float32)
+            norms_out[0, 0] = jnp.sqrt(jnp.sum(en * en, axis=-1))
 
     return kernel
 
@@ -111,7 +131,8 @@ def _make_kernel(apply_ln, out_mode):
     static_argnames=("apply_ln", "residual_x", "block_n", "interpret"),
 )
 def block_select_scatter(
-    x, p, b, cov, rank, h, scale, bias, skip=None, *,
+    x, p, b, cov, rank, h, scale, bias, skip=None, p_next=None,
+    next_scale=None, next_bias=None, *,
     apply_ln, residual_x=False, block_n=512, interpret=False,
 ):
     """Fused gate-state select + buffer scatter-blend (+ residual), blocked
@@ -126,12 +147,18 @@ def block_select_scatter(
 
     Returns (p', b') or (p', b', b' + skip|x). ``apply_ln``: gate domain is
     ln(x) (gate-after-LN groups) vs x (gate-before-LN / projection groups).
+
+    ``p_next``/``next_scale``/``next_bias`` (requires a y output): also
+    emit the NEXT gate's post-LN error norms ``||ln(y)*s + b - p_next||``
+    (B, N) f32 per output block (pass sharing); appended to the returns.
     """
     bsz, n, c = x.shape
     f = b.shape[-1]
     kp = h.shape[-2]
     assert not (residual_x and skip is not None)
     out_mode = "x" if residual_x else ("skip" if skip is not None else None)
+    emit_norms = p_next is not None
+    assert not (emit_norms and out_mode is None)
     block_n = min(block_n, n)
     grid = (bsz, pl.cdiv(n, block_n))
     row_c = lambda i, j: (i, j, 0)
@@ -172,8 +199,17 @@ def block_select_scatter(
     if out_mode is not None:
         out_specs.append(pl.BlockSpec((1, block_n, f), row_c))
         out_shape.append(jax.ShapeDtypeStruct((bsz, n, f), x.dtype))
+    if emit_norms:
+        in_specs += [
+            pl.BlockSpec((1, block_n, f), row_c),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((1, f), const),
+        ]
+        args += [p_next, next_scale.reshape(1, -1), next_bias.reshape(1, -1)]
+        out_specs.append(pl.BlockSpec((1, 1, block_n), vec_n))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32))
     outs = pl.pallas_call(
-        _make_kernel(apply_ln, out_mode),
+        _make_kernel(apply_ln, out_mode, emit_norms),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -186,4 +222,6 @@ def block_select_scatter(
         ),
         interpret=interpret,
     )(*args)
+    if emit_norms:
+        return tuple(outs[:-1]) + (outs[-1][:, 0],)
     return tuple(outs)

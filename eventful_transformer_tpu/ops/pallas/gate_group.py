@@ -166,8 +166,14 @@ def _select_state(new, p_row, cov_row):
     return jnp.where(covc, new, p_row.astype(jnp.float32))
 
 
-def _make_linear_kernel(ln_mode, kcap, with_skip, select_topk):
+def _make_linear_kernel(ln_mode, kcap, with_skip, select_topk, emit_norms=False):
     def kernel(*refs):
+        if emit_norms:
+            # extra inputs (p_next, next_scale, next_bias) precede the
+            # outputs; the norms output comes last
+            *refs, norms_out = refs
+            pn_ref, ns_ref, nb_ref = refs[-6], refs[-5], refs[-4]
+            refs = refs[:-6] + refs[-3:]
         if select_topk:
             cov_refs = ()
             if with_skip:
@@ -218,14 +224,26 @@ def _make_linear_kernel(ln_mode, kcap, with_skip, select_topk):
         y = jnp.where(covc, scattered, b_ref[0])
         b_out[0] = y
         if with_skip:
-            y_out[0] = (y + skip_ref[0]).astype(y_out.dtype)
+            yv = (y + skip_ref[0]).astype(y_out.dtype)
+            y_out[0] = yv
+            if emit_norms:
+                # next-gate error norms on the ROUNDED output — the MLP
+                # gate reads these instead of re-reading y (cross-group
+                # pass sharing, docs/PERF_NOTES.md round 4)
+                nl = _ln_f32(
+                    yv, ns_ref[0].astype(jnp.float32),
+                    nb_ref[0].astype(jnp.float32),
+                )
+                en = nl - pn_ref[0].astype(jnp.float32)
+                norms_out[0, 0] = jnp.sqrt(jnp.sum(en * en, axis=-1))
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("ln_mode", "kcap", "interpret"))
 def gate_group_linear(
-    x, p, b, cov, scale, bias, w, wb, skip=None, *, ln_mode, kcap, interpret=False
+    x, p, b, cov, scale, bias, w, wb, skip=None, p_next=None, next_scale=None,
+    next_bias=None, *, ln_mode, kcap, interpret=False
 ):
     """Fused gate->linear->buffer group.
 
@@ -240,11 +258,18 @@ def gate_group_linear(
     Returns (p', b') or (p', b', b' + skip). ln_mode as in gate_fused.py:
     "post" = gate after LN (p in LN domain), "pre" = gate before LN,
     "none" = no LN (projection group).
+
+    ``p_next``/``next_scale``/``next_bias`` (requires ``skip``): also emit
+    the NEXT gate's post-LN error norms ``||ln(y)*s + b - p_next||`` (B, N)
+    f32 from the output block in VMEM (pass sharing); appended to the
+    returns.
     """
     bsz, n, c = x.shape
     f = w.shape[-1]
     with_skip = skip is not None
     select_topk = cov is None
+    emit_norms = p_next is not None
+    assert not (emit_norms and not with_skip)
     row = lambda i: (i, 0, 0)
     vec = lambda i: (0, 0)
     in_specs = [
@@ -282,8 +307,17 @@ def gate_group_linear(
     if with_skip:
         out_specs.append(pl.BlockSpec((1, n, f), row))
         out_shape.append(jax.ShapeDtypeStruct((bsz, n, f), x.dtype))
+    if emit_norms:
+        in_specs += [
+            pl.BlockSpec((1, n, f), row),
+            pl.BlockSpec((1, f), vec),
+            pl.BlockSpec((1, f), vec),
+        ]
+        args += [p_next, next_scale.reshape(1, -1), next_bias.reshape(1, -1)]
+        out_specs.append(pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32))
     outs = pl.pallas_call(
-        _make_linear_kernel(ln_mode, kcap, with_skip, select_topk),
+        _make_linear_kernel(ln_mode, kcap, with_skip, select_topk, emit_norms),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bsz,),
@@ -299,11 +333,19 @@ def gate_group_linear(
         ),
         interpret=interpret,
     )(*args)
+    if emit_norms:
+        return tuple(outs[:-1]) + (outs[-1][:, 0],)
     return tuple(outs)
 
 
-def _make_mlp_kernel(ln_mode, kcap, select_topk):
+def _make_mlp_kernel(ln_mode, kcap, select_topk, emit_norms=False):
     def kernel(*refs):
+        if emit_norms:
+            # extra inputs (p_next, next_scale, next_bias) precede the
+            # outputs; the norms output comes last
+            *refs, norms_out = refs
+            pn_ref, ns_ref, nb_ref = refs[-6], refs[-5], refs[-4]
+            refs = refs[:-6] + refs[-3:]
         if select_topk:
             (x_ref, p_ref, b_ref, scale_ref, bias_ref,
              w1_ref, b1_ref, w2_ref, b2_ref, p_out, b_out, y_out) = refs
@@ -351,14 +393,27 @@ def _make_mlp_kernel(ln_mode, kcap, select_topk):
         covc = cov_row[0][:, None] > 0
         y = jnp.where(covc, scattered, b_ref[0])
         b_out[0] = y
-        y_out[0] = (y + x_ref[0]).astype(y_out.dtype)
+        yv = (y + x_ref[0]).astype(y_out.dtype)
+        y_out[0] = yv
+        if emit_norms:
+            # next-gate error norms on the ROUNDED output (exactly what a
+            # separate ln_norms pass over y would read back from HBM):
+            # ||ln(y)*s + b - p_next|| per token, f32 — one full read of y
+            # saved for the next gate's selection front (cross-block /
+            # cross-group pass sharing, docs/PERF_NOTES.md round 4)
+            nl = _ln_f32(
+                yv, ns_ref[0].astype(jnp.float32), nb_ref[0].astype(jnp.float32)
+            )
+            e = nl - pn_ref[0].astype(jnp.float32)
+            norms_out[0, 0] = jnp.sqrt(jnp.sum(e * e, axis=-1))
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("ln_mode", "kcap", "interpret"))
 def gate_group_mlp(
-    x, p, b, cov, scale, bias, w1, b1, w2, b2, *, ln_mode, kcap, interpret=False
+    x, p, b, cov, scale, bias, w1, b1, w2, b2, p_next=None, next_scale=None,
+    next_bias=None, *, ln_mode, kcap, interpret=False
 ):
     """Fused gate->MLP->buffer group with the residual folded in.
 
@@ -367,10 +422,17 @@ def gate_group_mlp(
 
     cov: selection coverage, or ``None`` for in-kernel top-kcap selection
     (see gate_group_linear). Returns (p', b', y) with y = b' + x.
+
+    ``p_next`` (B, N, C) with ``next_scale``/``next_bias``: also emit the
+    NEXT gate's post-LN error norms ``||ln(y)*s + b - p_next||`` (B, N) f32
+    from the output block while it is still in VMEM (the next block's qkv
+    gate reads them instead of re-reading y — cross-block pass sharing).
+    Returns (p', b', y, norms) in that case.
     """
     bsz, n, c = x.shape
     h_dim = w1.shape[-1]
     select_topk = cov is None
+    emit_norms = p_next is not None
     row = lambda i: (i, 0, 0)
     vec = lambda i: (0, 0)
     in_specs = [
@@ -395,23 +457,34 @@ def gate_group_mlp(
         bias.reshape(1, -1),
         w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
     ]
-    return pl.pallas_call(
-        _make_mlp_kernel(ln_mode, kcap, select_topk),
+    out_specs = [
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, c), row),
+        pl.BlockSpec((1, n, c), row),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
+        jax.ShapeDtypeStruct((bsz, n, c), b.dtype),
+        jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
+    ]
+    if emit_norms:
+        in_specs += [
+            pl.BlockSpec((1, n, c), row),
+            pl.BlockSpec((1, c), vec),
+            pl.BlockSpec((1, c), vec),
+        ]
+        args += [p_next, next_scale.reshape(1, -1), next_bias.reshape(1, -1)]
+        out_specs.append(pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32))
+    outs = pl.pallas_call(
+        _make_mlp_kernel(ln_mode, kcap, select_topk, emit_norms),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bsz,),
             in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((1, n, c), row),
-                pl.BlockSpec((1, n, c), row),
-                pl.BlockSpec((1, n, c), row),
-            ),
+            out_specs=tuple(out_specs),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
-            jax.ShapeDtypeStruct((bsz, n, c), b.dtype),
-            jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Whole-(N, C)-block design: f32 weights alone exceed the 16M
@@ -420,3 +493,6 @@ def gate_group_mlp(
         ),
         interpret=interpret,
     )(*args)
+    if emit_norms:
+        return outs[0], outs[1], outs[2], outs[3][:, 0]
+    return outs

@@ -720,3 +720,77 @@ def test_common_erf_and_gelu_match_xla():
         np.asarray(jax.nn.gelu(x, approximate=False)),
         rtol=0, atol=3e-6,  # |x| * erf_err / 2 at |x| <= 6
     )
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fused_mode", ["v2", "v2mlp", "blocked"])
+def test_gate_pass_sharing_matches_unshared(fused_mode, monkeypatch):
+    """Cross-block + within-block gate-pass sharing (the proj/MLP group
+    kernels emit the next gate's selection norms from the output block in
+    VMEM; ViTBackbone.apply threads them into the next block's qkv select)
+    == the unshared paths: outputs, states and counts. v2/blocked consumers
+    take the same f32 ln-norms formulation, so parity is tight; the v2mlp
+    consumer swaps an XLA norm for the kernel's (both f32, tolerance)."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.backbones import ViTBackbone
+    from eventful_transformer_tpu.core.counting import Counts, Ctx
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    monkeypatch.setenv("EVT_UNROLL_BLOCKS", "1")  # unrolled loop = sharing path
+    rng = np.random.default_rng(23)
+
+    def build(share):
+        backbone = ViTBackbone(
+            block_config=dict(dim=64, heads=4, mlp_ratio=2),
+            depth=3,
+            position_encoding_size=[4, 8],
+            input_size=(4, 8),
+            block_class="EventfulTokenwiseBlock",
+        )
+        for blk in backbone.blocks:
+            blk.fused_gates = fused_mode
+            blk.share_gate_passes = share
+            for gate in blk.gates:
+                gate.policy = copy.deepcopy(TokenNormTopK(k=9))
+        return backbone
+
+    ref = build(False)
+    shared = build(True)
+    params = ref.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((2, 32, 64)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+
+    def run(backbone):
+        state = {"blocks": [b.init_state(2, 32) for b in backbone.blocks]}
+        assert "blocks" in state  # unrolled representation
+        outs, counts = [], None
+        ctx = Ctx(count_mode=True)
+        y, state = backbone.apply(ctx, params, state, x_seq[0], mode="flush")
+        outs.append(y)
+        for x in x_seq[1:]:
+            y, state = backbone.apply(ctx, params, state, x, mode="incremental")
+            outs.append(y)
+        return outs, state, Counts.from_device(ctx.counts)
+
+    outs_a, state_a, counts_a = run(ref)
+    outs_b, state_b, counts_b = run(shared)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=5e-5, atol=5e-5
+        )
+    flat_a = jax.tree_util.tree_leaves(state_a)
+    flat_b = jax.tree_util.tree_leaves(state_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(la), rtol=5e-5, atol=5e-5
+        )
+    assert set(counts_a.keys()) == set(counts_b.keys())
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
