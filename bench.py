@@ -273,11 +273,24 @@ def bench_vitdet_e2e(args, size):
     rng = np.random.default_rng(0)
 
     def setup(config_name):
+        from eventful_transformer_tpu.core.blocks import (
+            EventfulBlock,
+            EventfulTokenwiseBlock,
+        )
+
         config = load_config(f"configs/evaluate/vitdet_vid/{config_name}.yml")
         model = ViTDet(**config["model"])
         eventful = bool(config.get("token_top_k"))
         if eventful:
             set_policies(model, TokenNormTopK, k=k)
+            for blk in model.modules_of_type(EventfulTokenwiseBlock):
+                if getattr(args, "no_share", False):
+                    blk.share_gate_passes = False
+            for blk in model.modules_of_type(EventfulBlock):
+                if args.av_kernel:
+                    blk.av_kernel = True
+                if args.fuse_mm1:
+                    blk.fuse_matmul_1 = True
         params = model.init(jax.random.PRNGKey(0))
         params = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
@@ -419,7 +432,15 @@ def bench_vivit_latency(args):
     event_l.frame_scan_unroll = args.vivit_unroll
     d_step, d_args = _model_step(dense_l, one, args.dtype)
     e_step, e_args = _model_step(event_l, one, args.dtype)
-    d_t, e_t = time_jitted_pair(d_step, d_args, e_step, e_args, iters=args.iters)
+    d_ts, e_ts = time_jitted_pair(
+        d_step, d_args, e_step, e_args, iters=args.iters, full=True
+    )
+    d_t, e_t = float(np.median(d_ts)), float(np.median(e_ts))
+    # variance bars (VERDICT r3 ask 7): interquartile range of the
+    # interleaved samples quantifies the remote-platform call-floor noise
+    # that made the round-3 driver (0.95x) and builder (1.00x) numbers
+    # disagree on identical code
+    iqr = lambda ts: float(np.percentile(ts, 75) - np.percentile(ts, 25))
     return {
         "metric": "vivit_b_k400_latency_ms_per_clip_batch1",
         "value": round(e_t * 1e3, 3),
@@ -427,6 +448,9 @@ def bench_vivit_latency(args):
         "vs_baseline": round(d_t / e_t, 4),
         "detail": {
             "dense_ms_per_clip": round(d_t * 1e3, 3),
+            "n_samples": int(len(e_ts)),
+            "eventful_iqr_ms": round(iqr(e_ts) * 1e3, 3),
+            "dense_iqr_ms": round(iqr(d_ts) * 1e3, 3),
             "k": k, "views": args.views, "frames": args.frames,
             "block": args.block, "dtype": args.dtype or "float32",
         },

@@ -308,6 +308,53 @@ class Block(Module):
         except Exception:
             return False
 
+    # Window partition/recombine as STATIC row gathers instead of the
+    # pad -> 6-D reshape -> transpose chain (whose layout copies profiled
+    # ~2.2 ms/frame at ViTDet-1024: copy/pad/reshape at the partition call
+    # sites). A single major-axis gather with precomputed indices does one
+    # pass; pad positions map to an appended zero row (same zero semantics
+    # as jnp.pad; the kernel still substitutes qkv-bias rows via geom).
+    # "auto": on for TPU inference; False restores the transpose chain.
+    window_partition_gather = "auto"
+
+    def _use_window_gather(self, ctx):
+        if self.window_partition_gather is False or ctx.training:
+            return False
+        if self.window_partition_gather is True:
+            return True
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+
+    def _window_perm(self):
+        """(perm, inv): static index maps between row-major tokens and
+        window-major positions. perm (NwT,) holds the row-major row for
+        each window-major position, with pad positions -> h*w (the
+        appended zero row); inv (h*w,) holds each row-major token's
+        window-major position."""
+        cached = getattr(self, "_window_perm_cache", None)
+        if cached is not None:
+            return cached
+        import numpy as _np
+
+        p = self._compute_window_padding()
+        d = self.window_size
+        h, w = self.input_size
+        hp, wp = h + p[0], w + p[1]
+        rowmajor = _np.full((hp, wp), h * w, dtype=_np.int32)
+        rowmajor[:h, :w] = _np.arange(h * w, dtype=_np.int32).reshape(h, w)
+        perm = (
+            rowmajor.reshape(hp // d[0], d[0], wp // d[1], d[1])
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        inv = _np.zeros(h * w, dtype=_np.int32)
+        valid = perm < h * w
+        inv[perm[valid]] = _np.nonzero(valid)[0].astype(_np.int32)
+        self._window_perm_cache = (jnp.asarray(perm), jnp.asarray(inv))
+        return self._window_perm_cache
+
     def _partition_windows_zero(self, ctx, params, x):
         """Partition for the fused kernel: ZERO-pad the spatial map (a
         cheap XLA pad the producer fuses into, vs. the full-bias-map
@@ -319,15 +366,24 @@ class Block(Module):
         d = self.window_size
         b, _, c = x.shape
         h, w = self.input_size
-        x = x.reshape(b, h, w, c)
         pad_bias, geom = None, None
         if any(p):
-            x = jnp.pad(x, ((0, 0), (0, p[0]), (0, p[1]), (0, 0)))
             pad_vec = self.qkv.apply_bias(
                 ctx, params["qkv"], jnp.zeros((1, 1, 1, c), x.dtype)
             )
             pad_bias = pad_vec.reshape(c)
             geom = ((h + p[0]) // d[0], (w + p[1]) // d[1], h, w)
+        if self._use_window_gather(ctx):
+            perm, _ = self._window_perm()
+            if any(p):
+                x = jnp.concatenate(
+                    [x, jnp.zeros((b, 1, c), x.dtype)], axis=1
+                )
+            xw = jnp.take(x, perm, axis=1)
+            return xw.reshape(-1, d[0] * d[1], c), pad_bias, geom
+        x = x.reshape(b, h, w, c)
+        if any(p):
+            x = jnp.pad(x, ((0, 0), (0, p[0]), (0, p[1]), (0, 0)))
             h, w = h + p[0], w + p[1]
         x = x.reshape(b, h // d[0], d[0], w // d[1], d[1], c)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
@@ -381,7 +437,7 @@ class Block(Module):
         if self._use_window_attention_kernel(ctx):
             x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
             x = self._window_attention_fused(ctx, params, x, aux, pad_bias, geom)
-            return self._recombine_windows(x), None, state
+            return self._recombine_windows(x, ctx), None, state
         if self._use_global_attention_kernel(ctx, x):
             out = self._window_attention_fused(ctx, params, x, aux)
             return out, None, state
@@ -401,7 +457,7 @@ class Block(Module):
         a, v, old_dtype = self._cast_matmul_2(a, v)
         x = counted_matmul(ctx, a, v)
         x = self._recombine_heads(x)
-        x = self._recombine_windows(x)
+        x = self._recombine_windows(x, ctx)
         x = self._uncast_matmul_2(x, old_dtype)
         return x, ats_indices, state
 
@@ -478,14 +534,21 @@ class Block(Module):
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         return x.reshape(-1, d[0] * d[1], c)
 
-    def _recombine_windows(self, x):
+    def _recombine_windows(self, x, ctx=None):
         if self.window_size is None:
             return x
         p = self._compute_window_padding()
         d = self.window_size
         s = self.input_size
-        total_h, total_w = p[0] + s[0], p[1] + s[1]
         c = x.shape[-1]
+        if ctx is not None and self._use_window_gather(ctx):
+            # inverse of the partition gather: one major-axis row gather
+            # drops pad positions and restores row-major token order
+            _, inv = self._window_perm()
+            n_win = ((s[0] + p[0]) // d[0]) * ((s[1] + p[1]) // d[1])
+            y = x.reshape(-1, n_win * d[0] * d[1], c)
+            return jnp.take(y, inv, axis=1)
+        total_h, total_w = p[0] + s[0], p[1] + s[1]
         x = x.reshape(-1, total_h // d[0], total_w // d[1], d[0], d[1], c)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         x = x.reshape(-1, total_h, total_w, c)

@@ -64,11 +64,13 @@ def time_repeated(fn, args, repeat=64, iters=5, warmup=1, perturb=None):
     return float(np.median(times)) / repeat
 
 
-def time_jitted_pair(fn_a, args_a, fn_b, args_b, iters=5, warmup=2):
+def time_jitted_pair(fn_a, args_a, fn_b, args_b, iters=5, warmup=2,
+                     full=False):
     """Time two jitted functions INTERLEAVED (A, B, A, B, ...) so clock /
     thermal / platform drift hits both alike — the A/B protocol behind every
     dense-vs-eventful ratio in docs/PERF_NOTES.md. Returns (sec_a, sec_b)
-    medians."""
+    medians, or the two raw time arrays with ``full=True`` (variance
+    quantification: the axon remote call floor drifts run to run)."""
 
     @jax.jit
     def probed_a(*a):
@@ -89,6 +91,8 @@ def time_jitted_pair(fn_a, args_a, fn_b, args_b, iters=5, warmup=2):
         t0 = time.perf_counter()
         float(probed_b(*args_b))
         times_b.append(time.perf_counter() - t0)
+    if full:
+        return np.asarray(times_a), np.asarray(times_b)
     return float(np.median(times_a)), float(np.median(times_b))
 
 

@@ -794,3 +794,38 @@ def test_gate_pass_sharing_matches_unshared(fused_mode, monkeypatch):
     assert set(counts_a.keys()) == set(counts_b.keys())
     for key in counts_a:
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_window_partition_gather_matches_transpose():
+    """Window partition/recombine as static row gathers == the
+    pad -> reshape -> transpose chain, on a dense windowed block with
+    non-dividing input (pad rows/cols) and with exact division."""
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import Block
+    from eventful_transformer_tpu.core.counting import Ctx
+
+    rng = np.random.default_rng(31)
+    for input_size in ((6, 8), (5, 7)):  # divides / needs padding
+        kwargs = dict(
+            dim=32, heads=4, mlp_ratio=2, input_size=input_size,
+            window_size=[2, 4],
+        )
+        blk_a, blk_b = Block(**kwargs), Block(**kwargs)
+        blk_a.window_partition_gather = False
+        blk_b.window_partition_gather = True
+        # blk_b runs the fused-kernel path (interpret on CPU) so the
+        # gather-based _partition_windows_zero is exercised end-to-end
+        blk_b.fused_window_attention = True
+        for blk in (blk_a, blk_b):
+            blk.fused_gates = False
+            blk.fused_dense_mlp = False
+        blk_a.fused_window_attention = False
+        params = blk_a.init(jax.random.PRNGKey(0))
+        n = input_size[0] * input_size[1]
+        x = jnp.asarray(rng.standard_normal((2, n, 32)).astype(np.float32))
+        ya, _ = blk_a.apply(Ctx(), params, {}, x)
+        yb, _ = blk_b.apply(Ctx(), params, {}, x)
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
+        )
