@@ -352,7 +352,9 @@ class Block(Module):
         inv = _np.zeros(h * w, dtype=_np.int32)
         valid = perm < h * w
         inv[perm[valid]] = _np.nonzero(valid)[0].astype(_np.int32)
-        self._window_perm_cache = (jnp.asarray(perm), jnp.asarray(inv))
+        # cache HOST arrays: a jnp constant created inside one jit trace
+        # must not be reused in another (UnexpectedTracerError)
+        self._window_perm_cache = (perm, inv)
         return self._window_perm_cache
 
     def _partition_windows_zero(self, ctx, params, x):
@@ -1127,13 +1129,13 @@ class EventfulTokenwiseBlock(Block):
     def _blocked_select(self, ctx, gate, gate_state, x, ln_params, ln_mode,
                         norms=None):
         """Selection front half for the blocked large-N path: error norms ->
-        policy -> SORTED indices, coverage and rank (each selected token's
-        prefix position among the selected, in sorted-index order — the row
-        order of the compacted op input). Selection order is semantically
-        free: every consumer is positional (scatters by token position,
-        deduped pooled indices, forced col gates). ``norms``: precomputed by
-        an upstream kernel (pass sharing) — skips the norms pass. Returns
-        (s_index, s_mask, cov, rank, interpret)."""
+        policy -> index list (top-k order), coverage. Selection order is
+        semantically free: every consumer is positional (the kernel builds
+        its scatter one-hot from the index list directly; deduped pooled
+        indices and forced col gates are order-insensitive). Invalid slots
+        hold N (out of range — never matched, never scattered). ``norms``:
+        precomputed by an upstream kernel (pass sharing) — skips the norms
+        pass. Returns (s_index, s_mask, cov, interpret)."""
         import jax
 
         from eventful_transformer_tpu.core.indexing import coverage
@@ -1157,7 +1159,9 @@ class EventfulTokenwiseBlock(Block):
         if type(pol) is TokenNormTopK and not pol.save_status:
             # Mask-free fixed-k: coverage comes from a compare against the
             # k-th value of the SAME top_k call (exact tie handling,
-            # coverage_from_kth) — no (B, k, N) one-hot materialization.
+            # coverage_from_kth) — no (B, k, N) one-hot materialization,
+            # no index sort (the kernel one-hot matches positions against
+            # the raw top-k index list).
             k = pol.capacity(n)
             values, index = jax.lax.top_k(norms, k)
             from eventful_transformer_tpu.core.indexing import coverage_from_kth
@@ -1165,31 +1169,19 @@ class EventfulTokenwiseBlock(Block):
             s_index = index.astype(jnp.int32)
             s_mask = None
             cov = coverage_from_kth(norms, values[..., k - 1 : k], k)
-            # rank in TOP-K order via a tiny scatter of arange(k) — selection
-            # order is semantically free (all consumers positional), and the
-            # sorted-order alternative costs a (B, k) index sort per select
-            # (measured 21 us x 36 selects/frame at ViTDet-1024) plus an
-            # (N,)-lane cumsum for the rank.
-            rank = jnp.zeros(norms.shape, jnp.float32).at[
-                jnp.arange(s_index.shape[0])[:, None], s_index
-            ].set(jnp.arange(k, dtype=jnp.float32)[None, :], mode="drop")
-            return s_index, s_mask, cov, rank, interpret
         else:
             index, mask = pol.select_from_norms(norms, ctx)
             if mask is None:
-                s_index = jnp.sort(index, axis=-1)
+                s_index = index.astype(jnp.int32)
                 s_mask = None
             else:
-                # Sort with invalid slots keyed out-of-range so they land at
-                # the end; their gathered rows are never scattered (cov
-                # excludes them).
-                key = jnp.where(mask, index, n)
-                s_key = jnp.sort(key, axis=-1)
-                s_mask = s_key < n
-                s_index = jnp.where(s_mask, s_key, 0).astype(jnp.int32)
-            cov = coverage(s_index, s_mask, n, s_index.ndim + 1)  # (B, N)
-        rank = jnp.cumsum(cov, axis=-1) - 1.0
-        return s_index, s_mask, cov, rank, interpret
+                # invalid slots keyed out-of-range: the kernel one-hot
+                # never matches them and their gathered rows are never
+                # scattered (cov excludes them)
+                s_index = jnp.where(mask, index, n).astype(jnp.int32)
+                s_mask = mask
+            cov = coverage(index, mask, n, index.ndim + 1)  # (B, N)
+        return s_index, s_mask, cov, interpret
 
     def _blocked_group_linear(
         self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
@@ -1205,7 +1197,7 @@ class EventfulTokenwiseBlock(Block):
             block_select_scatter,
         )
 
-        s_index, s_mask, cov, rank, interpret = self._blocked_select(
+        s_index, s_mask, cov, interpret = self._blocked_select(
             ctx, gate, gate_state, x, ln_params, ln_mode, norms=norms
         )
         c = take_rows(x, s_index)
@@ -1222,7 +1214,7 @@ class EventfulTokenwiseBlock(Block):
             scale, bias = ln_params["scale"], ln_params["bias"]
         p_next, n_scale, n_bias = next_gate or (None, None, None)
         outs = block_select_scatter(
-            x, gate_state["p"], buf_state["b"], cov, rank, h, scale, bias,
+            x, gate_state["p"], buf_state["b"], cov, s_index, h, scale, bias,
             skip, p_next, n_scale, n_bias,
             apply_ln=(ln_mode == "post"), interpret=interpret,
         )
@@ -1240,7 +1232,7 @@ class EventfulTokenwiseBlock(Block):
 
         ln_params = params["mlp_layer_norm"]
         ln_mode = "pre" if self.gate_before_ln else "post"
-        s_index, s_mask, cov, rank, interpret = self._blocked_select(
+        s_index, s_mask, cov, interpret = self._blocked_select(
             ctx, self.mlp_gate, state["mlp_gate"], x, ln_params, ln_mode,
             norms=norms,
         )
@@ -1249,7 +1241,7 @@ class EventfulTokenwiseBlock(Block):
         p_next, n_scale, n_bias = next_gate or (None, None, None)
         outs = block_select_scatter(
             x, state["mlp_gate"]["p"], state["mlp_accumulator"]["b"], cov,
-            rank, h, ln_params["scale"], ln_params["bias"], None,
+            s_index, h, ln_params["scale"], ln_params["bias"], None,
             p_next, n_scale, n_bias,
             apply_ln=(ln_mode == "post"), residual_x=True, interpret=interpret,
         )

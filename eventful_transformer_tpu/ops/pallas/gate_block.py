@@ -70,13 +70,13 @@ def _make_kernel(apply_ln, out_mode, emit_norms=False):
             pn_ref, ns_ref, nb_ref = refs[-6], refs[-5], refs[-4]
             refs = refs[:-6] + refs[-3:]
         if out_mode == "skip":
-            (x_ref, p_ref, b_ref, skip_ref, cov_ref, rank_ref, h_ref,
+            (x_ref, p_ref, b_ref, skip_ref, cov_ref, idx_ref, h_ref,
              scale_ref, bias_ref, p_out, b_out, y_out) = refs
         elif out_mode == "x":
-            (x_ref, p_ref, b_ref, cov_ref, rank_ref, h_ref,
+            (x_ref, p_ref, b_ref, cov_ref, idx_ref, h_ref,
              scale_ref, bias_ref, p_out, b_out, y_out) = refs
         else:
-            (x_ref, p_ref, b_ref, cov_ref, rank_ref, h_ref,
+            (x_ref, p_ref, b_ref, cov_ref, idx_ref, h_ref,
              scale_ref, bias_ref, p_out, b_out) = refs
         if apply_ln:
             new = _ln_f32(
@@ -92,11 +92,19 @@ def _make_kernel(apply_ln, out_mode, emit_norms=False):
         h = h_ref[0]
         kp = h.shape[0]
         bn = covc.shape[0]
-        # Mosaic iota must be integer; ranks are small (< N) so the f32
-        # carrier casts back exactly.
-        j = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
-        rank_i = rank_ref[0, 0].astype(jnp.int32)[:, None]
-        e = ((rank_i == j) & covc).astype(h.dtype)
+        # One-hot from the SELECTION INDEX LIST directly: e[i, j] = 1 iff
+        # h's row j is this block's token i (global position). No sorted
+        # order, no rank cumsum, no host-side scatter — the (bn, kp) i32
+        # compare replaces all three (the sorted-rank formulation cost a
+        # (B, k) sort per select, and its scatter-based replacement lowered
+        # to a slow XLA scatter — both measured, docs/PERF_NOTES.md r4).
+        block_i = pl.program_id(1)
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 0)
+            + block_i * bn
+        )
+        idx = idx_ref[0].astype(jnp.int32)  # (1, kp)
+        e = (pos == idx).astype(h.dtype)
         scattered = jax.lax.dot_general(
             e, h,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -131,7 +139,7 @@ def _make_kernel(apply_ln, out_mode, emit_norms=False):
     static_argnames=("apply_ln", "residual_x", "block_n", "interpret"),
 )
 def block_select_scatter(
-    x, p, b, cov, rank, h, scale, bias, skip=None, p_next=None,
+    x, p, b, cov, index, h, scale, bias, skip=None, p_next=None,
     next_scale=None, next_bias=None, *,
     apply_ln, residual_x=False, block_n=512, interpret=False,
 ):
@@ -139,11 +147,11 @@ def block_select_scatter(
     over the token axis.
 
     x, p (B, N, C); b (B, N, F) token buffer; cov (B, N) selection coverage
-    (>0 = selected); rank (B, N) prefix-sum position of each token among the
-    selected (in sorted-index order — any value where cov == 0); h (B, KP, F)
-    with row j holding the op output for the j-th selected token in that same
-    order; skip (B, N, F) optional fused residual; ``residual_x`` instead
-    adds x itself (the MLP group; requires F == C).
+    (>0 = selected); index (B, KP) the selected token positions, any order
+    (invalid/padding slots must hold an out-of-range value, e.g. N); h
+    (B, KP, F) with row j holding the op output for token index[j]; skip
+    (B, N, F) optional fused residual; ``residual_x`` instead adds x itself
+    (the MLP group; requires F == C).
 
     Returns (p', b') or (p', b', b' + skip|x). ``apply_ln``: gate domain is
     ln(x) (gate-after-LN groups) vs x (gate-before-LN / projection groups).
@@ -176,14 +184,14 @@ def block_select_scatter(
         args.append(skip)
     in_specs += [
         pl.BlockSpec((1, 1, block_n), vec_n),
-        pl.BlockSpec((1, 1, block_n), vec_n),
+        pl.BlockSpec((1, 1, kp), lambda i, j: (i, 0, 0)),
         pl.BlockSpec((1, kp, f), full),
         pl.BlockSpec((1, c), const),
         pl.BlockSpec((1, c), const),
     ]
     args += [
         cov.reshape(bsz, 1, n).astype(jnp.float32),
-        rank.reshape(bsz, 1, n).astype(jnp.float32),
+        index.reshape(bsz, 1, kp).astype(jnp.int32),
         h,
         scale.reshape(1, -1),
         bias.reshape(1, -1),
