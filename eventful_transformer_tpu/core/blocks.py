@@ -310,12 +310,13 @@ class Block(Module):
 
     # Window partition/recombine as STATIC row gathers instead of the
     # pad -> 6-D reshape -> transpose chain (whose layout copies profiled
-    # ~2.2 ms/frame at ViTDet-1024: copy/pad/reshape at the partition call
-    # sites). A single major-axis gather with precomputed indices does one
-    # pass; pad positions map to an appended zero row (same zero semantics
-    # as jnp.pad; the kernel still substitutes qkv-bias rows via geom).
-    # "auto": on for TPU inference; False restores the transpose chain.
-    window_partition_gather = "auto"
+    # ~2.2 ms/frame at ViTDet-1024). MEASURED NEGATIVE on TPU v5e
+    # (round 4): the static-index row gather lowers far worse than the
+    # transpose chain — ViTDet-1024 dense 41.9 -> 46.2 ms/frame, eventful
+    # 22.7 -> 27.3. XLA's window transposes are already near the copy
+    # floor; a gather adds per-row addressed DMA. Kept as a tested option
+    # (parity test in tests/test_pallas.py); default OFF.
+    window_partition_gather = False
 
     def _use_window_gather(self, ctx):
         if self.window_partition_gather is False or ctx.training:
