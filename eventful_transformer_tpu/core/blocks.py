@@ -559,6 +559,14 @@ class Block(Module):
             x = x[:, : s[0], : s[1]]
         return x.reshape(x.shape[0], s[0] * s[1], c)
 
+    # k/v pooling formulation: "strided" sums the ph*pw strided slices of
+    # the token grid (pure VPU adds, one pass, f32-accumulated); "matmul"
+    # is the round-2 pool-matrix matmul; "auto" picks strided for even
+    # grids on TPU (the pool matmul contracts 4096 -> 1024 with only d=64
+    # output lanes — profiled 1.15 ms/frame across the 4 global blocks at
+    # ViTDet-1024, ~4x the pass floor).
+    pool_mode = "auto"
+
     def _pool_tokens(self, x):
         if self.pool_size is None:
             return x
@@ -566,6 +574,22 @@ class Block(Module):
         b, h, _, c = x.shape
         ph, pw = self.pool_size
         pool_elems = ph * pw
+        if (
+            (
+                self.pool_mode == "strided"
+                or (self.pool_mode == "auto" and self._pool_by_matmul())
+            )
+            and w[0] % ph == 0
+            and w[1] % pw == 0
+        ):
+            g = x.reshape(b, h, w[0], w[1], c).astype(jnp.float32)
+            acc = None
+            for i in range(ph):
+                for j in range(pw):
+                    part = g[:, :, i::ph, j::pw]
+                    acc = part if acc is None else acc + part
+            y = (acc * (1.0 / pool_elems)).astype(x.dtype)
+            return y.reshape(b, h, -1, c)
         if self._pool_by_matmul() and (pool_elems & (pool_elems - 1)) == 0:
             # Average pooling as one matmul with a static 0/mean-weight
             # matrix: the 6-D reshape+mean view has minor dims of w/p
@@ -1800,7 +1824,7 @@ class EventfulBlock(EventfulMatmul1Block):
     fuse_matmul_1 = "auto"
     AV_KERNEL_MIN_COLS = 512
 
-    def _use_av_kernel(self, ctx, n_cols):
+    def _use_av_kernel(self, ctx, n_cols, batch=None):
         if (
             not self.recompute_av
             or self.ats_fraction is not None
@@ -1810,7 +1834,13 @@ class EventfulBlock(EventfulMatmul1Block):
             return False
         if self.av_kernel is True:
             return True
-        if n_cols < self.AV_KERNEL_MIN_COLS:
+        # Per-shape/per-batch rule (measured, docs/PERF_NOTES.md): at
+        # n_cols >= 512 the kernel always wins (ViTDet-1024). Below that
+        # the 441 -> 512 lane padding loses to the XLA fusion chain at
+        # batch >= 2 (672 2-stream: 12.2 vs 10.2 ms/frame even with
+        # fuse_mm1) but WINS at batch 1 (6.47 -> 5.94 ms/frame), where the
+        # removed logits materialization outweighs the padding.
+        if n_cols < self.AV_KERNEL_MIN_COLS and (batch is None or batch > 1):
             return False
         try:
             return jax.devices()[0].platform not in ("cpu",)
@@ -1819,7 +1849,7 @@ class EventfulBlock(EventfulMatmul1Block):
 
     def _attention_incremental(self, ctx, params, state, x, index, mask, aux):
         use_kernel = self._use_av_kernel(
-            ctx, self._pooled_tokens(x.shape[-2])
+            ctx, self._pooled_tokens(x.shape[-2]), x.shape[0]
         )
         fuse_bias = False
         if use_kernel and self.relative_position is not None:

@@ -391,3 +391,24 @@ class TestFusedGateGroup:
             our_counts = Counts.from_device(ctx.counts).nonzero()
             for key, val in ref_counts.items():
                 assert our_counts[key] == pytest.approx(val, rel=1e-4), key
+
+
+def test_pool_strided_matches_reshape_mean(rng):
+    """The strided slice-add pooling formulation == reshape+mean (f32
+    accumulation), including non-square pools and rectangular grids."""
+    from eventful_transformer_tpu.core.blocks import Block
+
+    for input_size, pool in (((8, 8), (2, 2)), ((6, 8), (3, 2))):
+        blk_a = Block(dim=32, heads=4, mlp_ratio=2, input_size=input_size,
+                      pool_size=list(pool))
+        blk_b = Block(dim=32, heads=4, mlp_ratio=2, input_size=input_size,
+                      pool_size=list(pool))
+        blk_a.pool_mode = "matmul"  # falls to reshape+mean on CPU
+        blk_b.pool_mode = "strided"
+        n = input_size[0] * input_size[1]
+        x = jnp.asarray(rng.standard_normal((2, 4, n, 8)).astype(np.float32))
+        ya = blk_a._pool_tokens(x)
+        yb = blk_b._pool_tokens(x)
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=1e-6, atol=1e-6
+        )
