@@ -561,10 +561,14 @@ class Block(Module):
 
     # k/v pooling formulation: "strided" sums the ph*pw strided slices of
     # the token grid (pure VPU adds, one pass, f32-accumulated); "matmul"
-    # is the round-2 pool-matrix matmul; "auto" picks strided for even
-    # grids on TPU (the pool matmul contracts 4096 -> 1024 with only d=64
-    # output lanes — profiled 1.15 ms/frame across the 4 global blocks at
-    # ViTDet-1024, ~4x the pass floor).
+    # is the round-2 pool-matrix matmul; "auto" picks matmul on TPU.
+    # Strided looked ~1.15 ms/frame cheaper in an isolated profile at
+    # ViTDet-1024, but regressed the full backbone 22.95 -> 27.0 ms/frame
+    # (1.83x -> 1.55x vs dense): the ph*pw strided slices have minor dims
+    # of w/pw (badly tile-padded relayouts XLA can't fuse away), whereas
+    # the pool matmul stays in the standard (N, C) layout and overlaps
+    # with neighbouring MXU work. Measured negative result — kept as an
+    # explicit option, never auto-selected.
     pool_mode = "auto"
 
     def _pool_tokens(self, x):
@@ -575,10 +579,7 @@ class Block(Module):
         ph, pw = self.pool_size
         pool_elems = ph * pw
         if (
-            (
-                self.pool_mode == "strided"
-                or (self.pool_mode == "auto" and self._pool_by_matmul())
-            )
+            self.pool_mode == "strided"
             and w[0] % ph == 0
             and w[1] % pw == 0
         ):

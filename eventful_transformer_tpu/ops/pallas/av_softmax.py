@@ -228,6 +228,11 @@ def softmax_select_matmul(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        # In-place attention-state update: p_a' overwrites p_a (the (B, H,
+        # N, Np) array is the largest state leaf — 18.7 MB at ViTDet-1024)
+        # so the frame scan's loop carry needs no per-iteration copy. Each
+        # grid instance reads exactly the row block it writes.
+        input_output_aliases={(0 if fuse_mm1 else 1): 0},
         interpret=interpret,
     )(*args)
     return outs

@@ -168,6 +168,23 @@ def block_select_scatter(
     emit_norms = p_next is not None
     assert not (emit_norms and out_mode is None)
     block_n = min(block_n, n)
+    # Scoped-VMEM fit: the pipeline double-buffers every blocked operand, so
+    # per-instance bytes ~ 2*bn*row_bytes + 2*kp*f (the h block) + f32 stack.
+    # The qkv group at N=4096 (C=768, F=2304) measured 16.3M at bn=512 —
+    # 304K over the 16M scoped limit (compile-time OOM). Halve bn until the
+    # double-buffered blocks fit a 13M budget, leaving stack headroom.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    row_bytes = itemsize * (
+        2 * c  # x, p in
+        + f  # b in
+        + (f if out_mode == "skip" else 0)  # skip in
+        + (f if emit_norms else 0)  # p_next in
+        + c + f  # p', b' out
+        + (f if out_mode is not None else 0)  # y out
+    ) + (8 if emit_norms else 4)  # cov in (+ norms out)
+    h_bytes = kp * f * itemsize
+    while block_n > 128 and 2 * (block_n * row_bytes + h_bytes) > 13 * 2**20:
+        block_n //= 2
     grid = (bsz, pl.cdiv(n, block_n))
     row_c = lambda i, j: (i, j, 0)
     vec_n = lambda i, j: (i, 0, j)
@@ -228,6 +245,11 @@ def block_select_scatter(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        # In-place state update (see gate_group_linear): p'/b' overwrite
+        # p/b. Each (i, j) grid instance reads exactly the (i, j) block it
+        # writes, so aliasing is safe; without it the frame scan copies
+        # every state leaf back into the loop carry each iteration.
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
     )(*args)
     if emit_norms:

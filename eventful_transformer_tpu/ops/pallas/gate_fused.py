@@ -134,6 +134,9 @@ def ln_select_matmul(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        # In-place state update (see gate_group.py): p' overwrites p so
+        # the frame scan's loop carry needs no per-iteration copy.
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(
         x,
@@ -233,6 +236,8 @@ def select_linear_skip_norms(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        # In-place state update (see gate_group.py).
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(
         x,
@@ -288,5 +293,7 @@ def ln_select(x, p, cov, scale, bias, apply_ln=True, block_n=256, interpret=Fals
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
+        # In-place state update (see gate_group.py).
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(x, p, cov.reshape(b, 1, n).astype(jnp.float32), scale.reshape(1, -1), bias.reshape(1, -1))

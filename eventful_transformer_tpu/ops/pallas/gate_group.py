@@ -325,6 +325,13 @@ def gate_group_linear(
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shape),
+        # In-place state update: p'/b' overwrite p/b. Without this the
+        # frame scan copies every state leaf once per iteration (the HLO
+        # while body showed 122 full (1, N, C) copies/frame at ViTDet-672
+        # batch 1 — pallas outputs are fresh allocations XLA must copy
+        # back into the loop carry). Each grid instance reads exactly the
+        # block it overwrites, so aliasing is safe.
+        input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Whole-(N, C)-block design: f32 weights alone exceed the 16M
@@ -485,6 +492,9 @@ def gate_group_mlp(
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shape),
+        # In-place state update (see gate_group_linear): p'/b' overwrite
+        # p/b so the frame scan's loop carry needs no per-iteration copy.
+        input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Whole-(N, C)-block design: f32 weights alone exceed the 16M
