@@ -55,6 +55,34 @@ class TestNMS:
         assert np.asarray(mask).sum() == 1
         assert int(np.asarray(idx)[0]) == 3
 
+    def test_blocked_matches_numpy_oracle(self, rng):
+        """n > _BLOCK takes the blocked kept-set path (detection/nms.py);
+        must agree with greedy exactly through the full output capacity."""
+        n = 2500  # 3 blocks at _BLOCK=1024, last one ragged
+        centers = np.abs(rng.standard_normal((n, 2)) * 40)
+        sizes = 2 + np.abs(rng.standard_normal((n, 2)) * 12)
+        boxes = np.concatenate([centers, centers + sizes], 1).astype(np.float32)
+        scores = rng.standard_normal(n).astype(np.float32)
+        scores[::7] = -np.inf  # invalid candidates interleaved
+        for max_out in (16, 300):
+            idx, mask = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out)
+            got = np.asarray(idx)[np.asarray(mask)].tolist()
+            want = _nms_oracle(boxes, scores, 0.5)[:max_out]
+            assert got == want
+
+    def test_blocked_capacity_overflow(self, rng):
+        """More keeps than max_out: the first max_out (score order) are
+        returned and the mask saturates."""
+        n = 1100  # > _BLOCK, disjoint boxes -> everything valid is kept
+        x = np.arange(n, dtype=np.float32) * 20
+        boxes = np.stack([x, x * 0, x + 10, x * 0 + 10], 1)
+        scores = rng.standard_normal(n).astype(np.float32)
+        idx, mask = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64)
+        assert np.asarray(mask).all()
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.argsort(-scores)[:64]
+        )
+
     def test_batched_groups_dont_suppress(self):
         boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
         scores = np.array([0.9, 0.8], np.float32)
