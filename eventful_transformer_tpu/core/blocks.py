@@ -434,17 +434,35 @@ class Block(Module):
         ctx.add("matmul_flops", 2.0 * bw * self.heads * t * t * d)
         return out
 
-    def _forward_attention(self, ctx, params, state, x, aux):
+    def _forward_attention(self, ctx, params, state, x, aux,
+                           pre_partitioned=False):
         if self.sequence_parallel is not None:
             return self._attention_ulysses(ctx, x), None, state
+        if pre_partitioned:
+            # x (B, NW, 3C) window-major resident qkv (pad rows hold the
+            # qkv bias row already): partition is a free reshape. Count
+            # the pad-bias map exactly as the relayout paths do
+            # (_partition_windows / _partition_windows_zero both apply
+            # the counted bias to a (1, 1, 1, 3C) zero row).
+            t = self.window_size[0] * self.window_size[1]
+            x = x.reshape(-1, t, x.shape[-1])
+            if any(self._compute_window_padding()):
+                self.qkv.apply_bias(
+                    ctx, params["qkv"],
+                    jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype),
+                )
         if self._use_window_attention_kernel(ctx):
-            x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
+            if not pre_partitioned:
+                x, pad_bias, geom = self._partition_windows_zero(ctx, params, x)
+            else:
+                pad_bias, geom = None, None
             x = self._window_attention_fused(ctx, params, x, aux, pad_bias, geom)
             return self._recombine_windows(x, ctx), None, state
-        if self._use_global_attention_kernel(ctx, x):
+        if not pre_partitioned and self._use_global_attention_kernel(ctx, x):
             out = self._window_attention_fused(ctx, params, x, aux)
             return out, None, state
-        x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
+        if not pre_partitioned:
+            x = self._partition_windows(ctx, params, x, in_qkv_domain=True)
         q, k, v = self._partition_heads(x)
         k = self._pool_tokens(k)
         v = self._pool_tokens(v)
@@ -755,6 +773,19 @@ class EventfulTokenwiseBlock(Block):
         # ViTBackbone.apply: MLP kernel -> next block's qkv gate). False
         # disables (A/B lever; docs/PERF_NOTES.md round 4).
         self.share_gate_passes = "auto"
+        # Window-resident qkv buffer (round 4): for WINDOWED blocks in
+        # blocked mode, store the qkv accumulator PERMANENTLY in the
+        # window-partitioned layout its only consumer (windowed attention)
+        # needs — the per-step pad+transpose relayout of the full (N, 3C)
+        # buffer (profiled as layout-conversion copies on the pallas
+        # output) becomes a free reshape. The blocked kernel splits into a
+        # row-major p-select and a window-major scatter-blend with indices
+        # remapped through the static window permutation (identical HBM
+        # traffic, one extra launch). Pad rows hold the qkv bias row
+        # (reference blocks.py:269-287), written once at flush and never
+        # selected after. "auto" = on whenever windowed + blocked mode;
+        # False disables.
+        self.window_resident_qkv = "auto"
 
     # Per-shape fusion thresholds (measured on TPU v5e, docs/PERF_NOTES.md):
     #   n <= V2MLP_MAX: "v2mlp" — XLA recompute qkv/proj + v2 MLP kernel.
@@ -803,6 +834,61 @@ class EventfulTokenwiseBlock(Block):
         large N (ViTDet-1024) the gathered path wins."""
         return self.recompute_buffers and n_tokens <= self.RECOMPUTE_MAX_TOKENS
 
+    def _resident_qkv(self, n_tokens):
+        """Whether the qkv buffer lives in window-major layout (see
+        ``window_resident_qkv``). Static per config — state shapes depend
+        on it. Applies in both fused regimes that maintain a qkv buffer
+        (v2 whole-group and blocked); the resident qkv group always runs
+        the blocked select/scatter pair (tiled kernels work at any N)."""
+        return (
+            self.window_resident_qkv is not False
+            and self.window_size is not None
+            and self.pool_size is None
+            and self.ats_fraction is None
+            and self._fused_mode(n_tokens) in ("v2", "blocked")
+        )
+
+    def _resident_rows(self):
+        """Window-major row count: padded spatial extent (pad rows hold the
+        qkv bias row and persist across steps)."""
+        p = self._compute_window_padding()
+        return (self.input_size[0] + p[0]) * (self.input_size[1] + p[1])
+
+    def _window_inv_ext(self):
+        """(N + 1,) static host table: row-major token -> window-major
+        position, with the out-of-range selection marker N -> -1 (never
+        matches any kernel row)."""
+        cached = getattr(self, "_window_inv_ext_cache", None)
+        if cached is None:
+            import numpy as _np
+
+            _, inv = self._window_perm()
+            cached = _np.concatenate(
+                [inv.astype(_np.int32), _np.full((1,), -1, _np.int32)]
+            )
+            self._window_inv_ext_cache = cached
+        return cached
+
+    def _partition_windows_resident(self, params, x):
+        """Flush-time partition into the RESIDENT window-major layout
+        (B, NW, 3C): pad rows = the qkv bias row (= qkv(0), reference
+        blocks.py:269-287), UNcounted — the resident attention entry
+        (`_forward_attention(pre_partitioned=True)`) adds the counted
+        pad-bias term exactly once per forward, like the relayout paths."""
+        p = self._compute_window_padding()
+        d = self.window_size
+        b, _, c = x.shape
+        h, w = self.input_size
+        x = x.reshape(b, h, w, c)
+        if any(p):
+            pad_vec = params["qkv"]["bias"].astype(x.dtype)
+            padded = jnp.broadcast_to(pad_vec, (b, h + p[0], w + p[1], c))
+            x = padded.at[:, :h, :w].set(x)
+            h, w = h + p[0], w + p[1]
+        x = x.reshape(b, h // d[0], d[0], w // d[1], d[1], c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(b, h * w, c)
+
     @property
     def gates(self):
         return [self.qkv_gate, self.projection_gate, self.mlp_gate]
@@ -823,8 +909,12 @@ class EventfulTokenwiseBlock(Block):
         if not self._recompute(n_tokens) or self._fused_mode(n_tokens) in (
             "v2", "blocked",
         ):
+            qkv_rows = (
+                self._resident_rows() if self._resident_qkv(n_tokens)
+                else n_tokens
+            )
             state["qkv_accumulator"] = self.qkv_accumulator.init_state(
-                (batch, n_tokens, 3 * self.dim), dtype
+                (batch, qkv_rows, 3 * self.dim), dtype
             )
             state["projection_accumulator"] = self.projection_accumulator.init_state(
                 (batch, n_out, self.dim), dtype
@@ -868,11 +958,23 @@ class EventfulTokenwiseBlock(Block):
             x = layer_norm(x, params["input_layer_norm"], LN_EPS)
             _, state["qkv_gate"] = self.qkv_gate.flush(state["qkv_gate"], x)
         x = self.qkv.apply(ctx, params["qkv"], x)
-        if "qkv_accumulator" in state:
-            x, state["qkv_accumulator"] = self.qkv_accumulator.flush(
-                state["qkv_accumulator"], x
+        resident = (
+            "qkv_accumulator" in state and self._resident_qkv(x.shape[-2])
+        )
+        if resident:
+            x = self._partition_windows_resident(params, x)
+            state["qkv_accumulator"] = {"b": x}
+            x, ats_indices, state = self._forward_attention(
+                ctx, params, state, x, aux, pre_partitioned=True
             )
-        x, ats_indices, state = self._attention_flush(ctx, params, state, x, aux)
+        else:
+            if "qkv_accumulator" in state:
+                x, state["qkv_accumulator"] = self.qkv_accumulator.flush(
+                    state["qkv_accumulator"], x
+                )
+            x, ats_indices, state = self._attention_flush(
+                ctx, params, state, x, aux
+            )
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
         x, _ = self._post_attention(ctx, params, state, x, skip_1, flush=True)
         return x, state
@@ -893,11 +995,18 @@ class EventfulTokenwiseBlock(Block):
         skip_1 = x
         # Pallas kernels have no VJP here; training runs the XLA paths.
         mode = False if ctx.training else self._fused_mode(x.shape[-2])
+        resident = self._resident_qkv(x.shape[-2])
+        if resident and mode not in ("v2", "blocked"):
+            raise ValueError(
+                "window_resident_qkv state is window-major and requires a "
+                "fused path (no training/unfused fallback); set "
+                "window_resident_qkv=False to train through this block"
+            )
         # Precomputed qkv-gate norms (cross-block pass sharing) are only
         # valid in the post-LN gate domain.
         if self.gate_before_ln:
             qkv_norms = None
-        if mode == "v2":
+        if mode == "v2" and not resident:
             ln_mode = "pre" if self.gate_before_ln else "post"
             (p_new, b_new), index, mask = self._v2_group_linear(
                 ctx,
@@ -915,8 +1024,13 @@ class EventfulTokenwiseBlock(Block):
             state["qkv_gate"] = {"p": p_new}
             state["qkv_accumulator"] = {"b": b_new}
             x = b_new
-        elif mode == "blocked":
-            (p_new, b_new), index, mask = self._blocked_group_linear(
+        elif mode == "blocked" or (mode == "v2" and resident):
+            group = (
+                self._blocked_group_linear_resident
+                if resident
+                else self._blocked_group_linear
+            )
+            (p_new, b_new), index, mask = group(
                 ctx,
                 self.qkv_gate,
                 state["qkv_gate"],
@@ -980,9 +1094,14 @@ class EventfulTokenwiseBlock(Block):
                 x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
                     state["qkv_accumulator"], x_t, index, mask
                 )
-        x, ats_indices, state = self._attention_incremental(
-            ctx, params, state, x, index, mask, aux
-        )
+        if resident:
+            x, ats_indices, state = self._forward_attention(
+                ctx, params, state, x, aux, pre_partitioned=True
+            )
+        else:
+            x, ats_indices, state = self._attention_incremental(
+                ctx, params, state, x, index, mask, aux
+            )
         skip_1 = self._gather_ats_skip(skip_1, ats_indices)
         x, next_norms = self._post_attention(
             ctx, params, state, x, skip_1, flush=False, next_gate=next_gate
@@ -1245,6 +1364,43 @@ class EventfulTokenwiseBlock(Block):
             apply_ln=(ln_mode == "post"), interpret=interpret,
         )
         return outs, s_index, s_mask
+
+    def _blocked_group_linear_resident(
+        self, ctx, gate, gate_state, buf_state, x, ln_params, ln_mode, linear,
+        linear_params, norms=None,
+    ):
+        """Blocked qkv group with the WINDOW-RESIDENT buffer (see
+        ``window_resident_qkv``): selection + gate-state select run
+        row-major; the buffer scatter-blend runs over the window-major
+        buffer with the indices remapped through the static window
+        permutation. Same semantics and HBM traffic as
+        ``_blocked_group_linear``, minus the downstream relayout."""
+        from eventful_transformer_tpu.ops.pallas.gate_block import (
+            block_scatter_rows,
+            block_select_p,
+        )
+
+        s_index, s_mask, cov, interpret = self._blocked_select(
+            ctx, gate, gate_state, x, ln_params, ln_mode, norms=norms
+        )
+        c = take_rows(x, s_index)
+        if ln_mode != "none":
+            c = layer_norm(c, ln_params, LN_EPS)
+        h = linear.apply(ctx, linear_params, c, valid_frac=valid_fraction(s_mask))
+        if ln_mode == "none":
+            scale = jnp.ones((x.shape[-1],), jnp.float32)
+            bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        else:
+            scale, bias = ln_params["scale"], ln_params["bias"]
+        p_new = block_select_p(
+            x, gate_state["p"], cov, scale, bias,
+            apply_ln=(ln_mode == "post"), interpret=interpret,
+        )
+        w_index = jnp.take(jnp.asarray(self._window_inv_ext()), s_index, axis=0)
+        b_new = block_scatter_rows(
+            buf_state["b"], w_index, h, interpret=interpret
+        )
+        return (p_new, b_new), s_index, s_mask
 
     def _blocked_group_mlp(self, ctx, params, state, x, norms=None,
                            next_gate=None):

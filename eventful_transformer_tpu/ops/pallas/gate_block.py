@@ -255,3 +255,149 @@ def block_select_scatter(
     if emit_norms:
         return tuple(outs[:-1]) + (outs[-1][:, 0],)
     return tuple(outs)
+
+# -- window-resident buffer variant (round 4) ---------------------------------
+#
+# For WINDOWED eventful-tokenwise blocks the qkv buffer's only consumer is
+# windowed attention, which needs the window-partitioned layout — the fused
+# path paid a pad+6-D-transpose relayout of the full (N, 3C) buffer every
+# step (profiled as layout-conversion copies on the pallas output,
+# docs/PERF_NOTES.md round 4). Storing the buffer PERMANENTLY window-major
+# makes the partition a free reshape; the combined select+scatter kernel
+# splits into two (identical total HBM traffic, one extra launch):
+#
+#   * block_select_p: gate-state select over row-major x/p tiles;
+#   * block_scatter_rows: buffer scatter-blend over window-major b tiles,
+#     with the top-k indices remapped through the static window permutation
+#     in XLA (a (B, k) int gather). Coverage is derived IN-KERNEL from the
+#     one-hot index match (exactly the rows present in the index list, the
+#     same rows coverage_from_kth marks); invalid slots hold -1, which can
+#     never match a row position (out-of-range markers could collide with a
+#     partial edge tile's padded iota rows).
+#
+# Pad rows (out-of-image window positions) are initialized to the qkv bias
+# row at flush (reference blocks.py:269-287 pad semantics) and are never
+# selected, so they persist across steps — the per-step in-kernel pad
+# substitution of the non-resident path disappears too.
+
+
+def _select_p_kernel(apply_ln):
+    def kernel(x_ref, p_ref, cov_ref, scale_ref, bias_ref, p_out):
+        if apply_ln:
+            new = _ln_f32(
+                x_ref[0],
+                scale_ref[0].astype(jnp.float32),
+                bias_ref[0].astype(jnp.float32),
+            )
+        else:
+            new = x_ref[0].astype(jnp.float32)
+        covc = cov_ref[0, 0][:, None] > 0  # (bn, 1)
+        p_out[0] = jnp.where(covc, new, p_ref[0].astype(jnp.float32)).astype(
+            p_out.dtype
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("apply_ln", "block_n", "interpret"))
+def block_select_p(x, p, cov, scale, bias, *, apply_ln, block_n=1024,
+                   interpret=False):
+    """Gate-state select only: p' = where(cov, ln(x)|x, p), blocked over N.
+
+    x, p (B, N, C); cov (B, N) selection coverage (>0 = selected). The
+    row-major half of the split select/scatter pair used by the
+    window-resident buffer path (see module docstring)."""
+    bsz, n, c = x.shape
+    block_n = min(block_n, n)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    row_bytes = itemsize * 3 * c + 4  # x, p in; p' out; cov in
+    while block_n > 128 and 2 * block_n * row_bytes > 13 * 2**20:
+        block_n //= 2
+    row_c = lambda i, j: (i, j, 0)
+    outs = pl.pallas_call(
+        _select_p_kernel(apply_ln),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz, pl.cdiv(n, block_n)),
+            in_specs=[
+                pl.BlockSpec((1, block_n, c), row_c),
+                pl.BlockSpec((1, block_n, c), row_c),
+                pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_n, c), row_c),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, c), p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(
+        x,
+        p,
+        cov.reshape(bsz, 1, n).astype(jnp.float32),
+        scale.reshape(1, -1),
+        bias.reshape(1, -1),
+    )
+    return outs
+
+
+def _scatter_rows_kernel(b_ref, idx_ref, h_ref, b_out):
+    h = h_ref[0]
+    kp = h.shape[0]
+    bn = b_ref.shape[1]
+    block_i = pl.program_id(1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 0) + block_i * bn
+    idx = idx_ref[0].astype(jnp.int32)  # (1, kp); invalid slots hold -1
+    e_f32 = (pos == idx).astype(jnp.float32)
+    e = e_f32.astype(h.dtype)
+    # reduce + compare in f32 (Mosaic rejects the bf16 comparison)
+    covc = jnp.sum(e_f32, axis=-1)[:, None] > 0
+    scattered = jax.lax.dot_general(
+        e, h,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_copy_precision(e.dtype),
+    ).astype(b_out.dtype)
+    b_out[0] = jnp.where(covc, scattered, b_ref[0])
+
+
+@partial(jax.jit, static_argnames=("block_n", "interpret"))
+def block_scatter_rows(b, index, h, *, block_n=512, interpret=False):
+    """Buffer scatter-blend only: b'[i] = h[j] where index[j] == i, else
+    b[i] — blocked over the (window-major) row axis.
+
+    b (B, NW, F); index (B, KP) target row positions in ANY order with
+    invalid slots holding -1 (never matches); h (B, KP, F) rows to place.
+    Coverage comes from the one-hot match itself."""
+    bsz, n, f = b.shape
+    kp = h.shape[-2]
+    block_n = min(block_n, n)
+    itemsize = jnp.dtype(b.dtype).itemsize
+    row_bytes = itemsize * 2 * f  # b in, b' out
+    h_bytes = kp * f * itemsize
+    while block_n > 128 and 2 * (block_n * row_bytes + h_bytes) > 13 * 2**20:
+        block_n //= 2
+    row_c = lambda i, j: (i, j, 0)
+    outs = pl.pallas_call(
+        _scatter_rows_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz, pl.cdiv(n, block_n)),
+            in_specs=[
+                pl.BlockSpec((1, block_n, f), row_c),
+                pl.BlockSpec((1, 1, kp), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, kp, f), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_n, f), row_c),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, f), b.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(b, index.reshape(bsz, 1, kp).astype(jnp.int32), h)
+    return outs

@@ -292,6 +292,89 @@ def test_blocked_group_full_scale_n4096():
     )
 
 
+def _windowed_resident_case(input_size, window_size, gate_before_ln=False,
+                            fused_mode="blocked"):
+    """Window-resident qkv buffer (blocked mode, windowed tokenwise block,
+    core/blocks.py window_resident_qkv): outputs and counts match the
+    unfused path, and the resident window-major buffer equals the unfused
+    row-major buffer under the static window permutation, with pad rows
+    holding the qkv bias row (reference blocks.py:269-287)."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(11)
+    B, C = 2, 64
+    n = input_size[0] * input_size[1]
+    kwargs = dict(
+        dim=C, heads=4, mlp_ratio=2, input_size=input_size,
+        window_size=window_size, gate_before_ln=gate_before_ln,
+    )
+    blk_a = EventfulTokenwiseBlock(**kwargs)
+    blk_b = EventfulTokenwiseBlock(**kwargs)
+    for blk, mode in ((blk_a, False), (blk_b, fused_mode)):
+        blk.fused_gates = mode
+        blk.recompute_buffers = False
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(TokenNormTopK(k=7))
+    assert blk_b._resident_qkv(n) and not blk_a._resident_qkv(n)
+    params = blk_a.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+    # the resident buffer is the unfused buffer under the window permutation
+    perm, _ = blk_b._window_perm()
+    b_w = np.asarray(state_b["qkv_accumulator"]["b"])  # (B, NW, 3C)
+    b_r = np.asarray(state_a["qkv_accumulator"]["b"])  # (B, N, 3C)
+    valid = perm < n
+    np.testing.assert_allclose(
+        b_w[:, valid], b_r[:, perm[valid]], rtol=2e-5, atol=2e-5
+    )
+    if not valid.all():
+        pad_rows = b_w[:, ~valid]
+        bias = np.asarray(params["qkv"]["bias"])
+        np.testing.assert_allclose(
+            pad_rows, np.broadcast_to(bias, pad_rows.shape), rtol=1e-6, atol=1e-6
+        )
+    # gate state stays row-major and matched
+    np.testing.assert_allclose(
+        np.asarray(state_b["qkv_gate"]["p"]),
+        np.asarray(state_a["qkv_gate"]["p"]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_blocked_group_windowed_resident_unpadded():
+    _windowed_resident_case((4, 6), (2, 3))
+
+
+def test_blocked_group_windowed_resident_padded():
+    _windowed_resident_case((4, 5), (2, 3))
+
+
+def test_blocked_group_windowed_resident_gate_before_ln():
+    _windowed_resident_case((4, 5), (2, 3), gate_before_ln=True)
+
+
+def test_v2_group_windowed_resident():
+    """v2 whole-group mode with a windowed block routes the qkv group
+    through the resident blocked select/scatter pair (proj/MLP stay on the
+    v2 kernels); parity vs the unfused path."""
+    _windowed_resident_case((4, 5), (2, 3), fused_mode="v2")
+
+
 def test_av_recompute_matches_delta_accumulator():
     """EventfulBlock.recompute_av: the A-V product recomputed as
     p_a @ p_v equals the reference's delta-accumulated product (pure
