@@ -516,12 +516,15 @@ def main():
     )
     parser.add_argument(
         "--budget-seconds", type=float,
-        default=float(os.environ.get("BENCH_BUDGET_S", 3000)),
+        default=float(os.environ.get("BENCH_BUDGET_S", 1450)),
         help="soft wall-clock budget for the whole run. The canonical "
         "metric always runs; each later workload is skipped (stderr note) "
         "if its cold-compile-inclusive cost estimate no longer fits. "
-        "Prevents the round-3 failure mode (rc=124 with the headline "
-        "metric unprinted).",
+        "Default calibrated to the round driver's OBSERVED kill window "
+        "(~1740 s from the BENCH_r03/r04 artifact timestamps; rc=124 both "
+        "rounds with 3000) minus rc-0 headroom. A warm persistent compile "
+        "cache (~/.cache/jax_bench, primed by running this script once "
+        "beforehand) fits all six workloads comfortably.",
     )
     args = parser.parse_args()
 
@@ -556,12 +559,15 @@ def main():
             est_scale = min(est_scale, max(took / est, 0.1))
 
     if args.workload == "all":
+        # Priority order (VERDICT r4 asks 1-2): canonical ViViT metric
+        # first, then the reference's headline regime (batch-1 e2e at
+        # 1024), then the backbone wins, then the rest.
         schedule([
             ("vivit", 700, lambda: bench_vivit_throughput(args)),
+            ("vitdet-e2e-1024", 650, lambda: bench_vitdet_e2e(args, 1024)),
             ("vitdet-1024", 550, lambda: bench_vitdet(args, 1024)),
             ("vitdet-672", 500, lambda: bench_vitdet(args, 672)),
             ("vitdet-e2e-672", 550, lambda: bench_vitdet_e2e(args, 672)),
-            ("vitdet-e2e-1024", 650, lambda: bench_vitdet_e2e(args, 1024)),
             ("vivit-latency", 400, lambda: bench_vivit_latency(args)),
         ])
         return

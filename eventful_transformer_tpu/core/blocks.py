@@ -963,7 +963,11 @@ class EventfulTokenwiseBlock(Block):
         )
         if resident:
             x = self._partition_windows_resident(params, x)
-            state["qkv_accumulator"] = {"b": x}
+            # flush through the buffer abstraction so TokenBuffer stays the
+            # single owner of its state layout (returns (x, {"b": x}))
+            x, state["qkv_accumulator"] = self.qkv_accumulator.flush(
+                state["qkv_accumulator"], x
+            )
             x, ats_indices, state = self._forward_attention(
                 ctx, params, state, x, aux, pre_partitioned=True
             )
@@ -996,12 +1000,21 @@ class EventfulTokenwiseBlock(Block):
         # Pallas kernels have no VJP here; training runs the XLA paths.
         mode = False if ctx.training else self._fused_mode(x.shape[-2])
         resident = self._resident_qkv(x.shape[-2])
-        if resident and mode not in ("v2", "blocked"):
-            raise ValueError(
-                "window_resident_qkv state is window-major and requires a "
-                "fused path (no training/unfused fallback); set "
-                "window_resident_qkv=False to train through this block"
-            )
+        # Training (or a forced-unfused override) runs the differentiable
+        # XLA path while the resident state layout stays window-major (it
+        # is static and cannot switch at trace time). Bridge with two
+        # static permutations per block-step: de-permute the buffer to
+        # row-major here, run the plain path, re-partition after the
+        # update. Negligible cost at training scale; inference always
+        # dispatches v2/blocked when resident, so this never runs hot.
+        train_resident = resident and mode not in ("v2", "blocked")
+        if train_resident:
+            _, inv = self._window_perm()
+            b = state["qkv_accumulator"]["b"]
+            state["qkv_accumulator"] = {
+                "b": jnp.take(b, jnp.asarray(inv), axis=1)
+            }
+            resident = False
         # Precomputed qkv-gate norms (cross-block pass sharing) are only
         # valid in the post-LN gate domain.
         if self.gate_before_ln:
@@ -1094,6 +1107,12 @@ class EventfulTokenwiseBlock(Block):
                 x, state["qkv_accumulator"] = self.qkv_accumulator.incremental(
                     state["qkv_accumulator"], x_t, index, mask
                 )
+        if train_resident:
+            # restore the persistent window-major layout (pad rows = qkv
+            # bias row, same as flush) for the next incremental step
+            state["qkv_accumulator"] = {
+                "b": self._partition_windows_resident(params, x)
+            }
         if resident:
             x, ats_indices, state = self._forward_attention(
                 ctx, params, state, x, aux, pre_partitioned=True

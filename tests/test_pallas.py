@@ -172,14 +172,14 @@ def test_count_accumulation_exact_at_vitdet_1024_scale():
     assert abs(float(naive) - want) / want > 1e-9
 
 
-def _run_block_sequence(blk, params, x_seq, n_tokens):
+def _run_block_sequence(blk, params, x_seq, n_tokens, training=False):
     """Flush + incremental steps through one eventful block; returns
     (outputs list, final state, Counts)."""
     import jax
 
     from eventful_transformer_tpu.core.counting import Counts, Ctx
 
-    ctx = Ctx(count_mode=True)
+    ctx = Ctx(count_mode=True, training=training)
     state = blk.init_state(x_seq[0].shape[0], n_tokens)
     outs = []
     for t, x in enumerate(x_seq):
@@ -293,7 +293,8 @@ def test_blocked_group_full_scale_n4096():
 
 
 def _windowed_resident_case(input_size, window_size, gate_before_ln=False,
-                            fused_mode="blocked"):
+                            fused_mode="blocked", force_window_kernel=False,
+                            training=False):
     """Window-resident qkv buffer (blocked mode, windowed tokenwise block,
     core/blocks.py window_resident_qkv): outputs and counts match the
     unfused path, and the resident window-major buffer equals the unfused
@@ -320,14 +321,22 @@ def _windowed_resident_case(input_size, window_size, gate_before_ln=False,
         blk.recompute_buffers = False
         for gate in blk.gates:
             gate.policy = copy.deepcopy(TokenNormTopK(k=7))
+    if force_window_kernel:
+        # exercise the pre_partitioned kernel branch (pad rows supply the
+        # bias instead of in-kernel geom substitution) in interpret mode
+        blk_b.fused_window_attention = True
     assert blk_b._resident_qkv(n) and not blk_a._resident_qkv(n)
     params = blk_a.init(jax.random.PRNGKey(0))
     x_seq = [
         jnp.asarray(rng.standard_normal((B, n, C)).astype(np.float32)) * 0.5
         for _ in range(3)
     ]
-    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, n)
-    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, n)
+    outs_a, state_a, counts_a = _run_block_sequence(
+        blk_a, params, x_seq, n, training=training
+    )
+    outs_b, state_b, counts_b = _run_block_sequence(
+        blk_b, params, x_seq, n, training=training
+    )
     for ya, yb in zip(outs_a, outs_b):
         np.testing.assert_allclose(
             np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
@@ -373,6 +382,25 @@ def test_v2_group_windowed_resident():
     through the resident blocked select/scatter pair (proj/MLP stay on the
     v2 kernels); parity vs the unfused path."""
     _windowed_resident_case((4, 5), (2, 3), fused_mode="v2")
+
+
+def test_windowed_resident_window_kernel_pre_partitioned():
+    """The production TPU attention branch of the resident path
+    (_forward_attention with pre_partitioned=True feeding the fused
+    window-attention kernel, pad rows supplying the qkv bias) in interpret
+    mode — conftest's forced CPU otherwise leaves fused_window_attention
+    'auto' off and only the XLA fallthrough runs in CI."""
+    _windowed_resident_case((4, 5), (2, 3), force_window_kernel=True)
+
+
+def test_windowed_resident_training_fallback():
+    """ctx.training forces the unfused differentiable path while the
+    resident qkv state stays window-major: the de-permute -> unfused
+    update -> re-partition bridge in _apply_incremental must match the
+    row-major unfused twin exactly (values, counts, buffer layout) instead
+    of raising (round-4 advisor finding, core/blocks.py)."""
+    _windowed_resident_case((4, 5), (2, 3), training=True)
+    _windowed_resident_case((4, 6), (2, 3), training=True)
 
 
 def test_av_recompute_matches_delta_accumulator():
