@@ -160,7 +160,10 @@ def bench_vitdet(args, size):
     from eventful_transformer_tpu.core.counting import Ctx
     from eventful_transformer_tpu.core.gating import TokenGate
     from eventful_transformer_tpu.core.policies import TokenNormTopK
-    from eventful_transformer_tpu.utils.timing import scalar_probe
+    from eventful_transformer_tpu.utils.timing import (
+        compile_parallel,
+        scalar_probe,
+    )
 
     streams, frames_per_call, k = getattr(args, "streams", 2) or 2, 16, 256
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -204,19 +207,23 @@ def bench_vitdet(args, size):
             state, probes = jax.lax.scan(body, state, fr, unroll=unroll)
             return state, jnp.sum(probes)
 
-        # Steady-state scan is statically incremental: no per-block
-        # flush/incremental lax.cond in the hot loop (see Block.apply).
-        jit_fwd = jax.jit(partial(fwd, mode="incremental" if eventful else None))
-        state0 = model.init_state(streams, dtype)
-        # flush frame once; timing runs steady-state only
-        state, probe = jax.jit(partial(fwd, mode="flush" if eventful else None))(
-            params, state0, frames[:1]
-        )
-        float(probe)
-        return jit_fwd, params, state, frames
+        return fwd, params, model.init_state(streams, dtype), frames
 
-    d_fwd, d_params, d_state, d_frames = setup(False)
-    e_fwd, e_params, e_state, e_frames = setup(True)
+    d_raw, d_params, d_state, d_frames = setup(False)
+    e_raw, e_params, e_state, e_frames = setup(True)
+    # Steady-state scan is statically incremental: no per-block
+    # flush/incremental lax.cond in the hot loop (see Block.apply). All
+    # three programs compile CONCURRENTLY (the compile service
+    # parallelizes; see compile_parallel) — and the dense path needs no
+    # flush program at all (dense block state is empty, flush == steady).
+    d_fwd, e_fwd, e_flush = compile_parallel([
+        (partial(d_raw, mode=None), (d_params, d_state, d_frames)),
+        (partial(e_raw, mode="incremental"), (e_params, e_state, e_frames)),
+        (partial(e_raw, mode="flush"), (e_params, e_state, e_frames[:1])),
+    ])
+    # flush frame once; timing runs steady-state only
+    e_state, probe = e_flush(e_params, e_state, e_frames[:1])
+    float(probe)
     # warm both
     float(d_fwd(d_params, d_state, d_frames)[1])
     float(e_fwd(e_params, e_state, e_frames)[1])
@@ -315,20 +322,23 @@ def bench_vitdet_e2e(args, size):
             state, probes = jax.lax.scan(body, state, fr, unroll=unroll)
             return state, jnp.sum(probes)
 
-        # Static flush-then-incremental split (frame 0 of a video always
-        # flushes): no per-block lax.cond in the steady-state loop.
-        jit_fwd = jax.jit(
-            partial(fwd, mode="incremental" if eventful else None)
-        )
-        state = model.init_state(1, dtype)
-        state, probe = jax.jit(partial(fwd, mode="flush" if eventful else None))(
-            params, state, frames[:1]
-        )
-        float(probe)
-        return jit_fwd, params, state, frames
+        return fwd, params, model.init_state(1, dtype), frames
 
-    d_fwd, d_params, d_state, d_frames = setup(f"base_{size}")
-    e_fwd, e_params, e_state, e_frames = setup(f"spatiotemporal_{size}")
+    d_raw, d_params, d_state, d_frames = setup(f"base_{size}")
+    e_raw, e_params, e_state, e_frames = setup(f"spatiotemporal_{size}")
+    # Static flush-then-incremental split (frame 0 of a video always
+    # flushes): no per-block lax.cond in the steady-state loop. Programs
+    # compile concurrently; the dense path needs no flush program (dense
+    # state is empty, flush == steady).
+    from eventful_transformer_tpu.utils.timing import compile_parallel
+
+    d_fwd, e_fwd, e_flush = compile_parallel([
+        (partial(d_raw, mode=None), (d_params, d_state, d_frames)),
+        (partial(e_raw, mode="incremental"), (e_params, e_state, e_frames)),
+        (partial(e_raw, mode="flush"), (e_params, e_state, e_frames[:1])),
+    ])
+    e_state, probe = e_flush(e_params, e_state, e_frames[:1])
+    float(probe)
     float(d_fwd(d_params, d_state, d_frames)[1])
     float(e_fwd(e_params, e_state, e_frames)[1])
     d_times, e_times = [], []
@@ -554,6 +564,8 @@ def main():
             t0 = _time.perf_counter()
             print(json.dumps(thunk()), flush=True)
             took = _time.perf_counter() - t0
+            print(f"bench: {name} took {took:.0f}s (est {est * est_scale:.0f}s, "
+                  f"elapsed {elapsed():.0f}s)", file=sys.stderr, flush=True)
             # Adapt later estimates to observed cache state: warm-cache
             # runs come in far under the cold estimates.
             est_scale = min(est_scale, max(took / est, 0.1))
@@ -562,13 +574,16 @@ def main():
         # Priority order (VERDICT r4 asks 1-2): canonical ViViT metric
         # first, then the reference's headline regime (batch-1 e2e at
         # 1024), then the backbone wins, then the rest.
+        # Cold estimates assume CONCURRENT compiles (compile_parallel; the
+        # serial-compile costs measured r05 were 383/228/317/255/163/436 s
+        # = 1782 s total, past the driver's ~1740 s kill window).
         schedule([
-            ("vivit", 700, lambda: bench_vivit_throughput(args)),
-            ("vitdet-e2e-1024", 650, lambda: bench_vitdet_e2e(args, 1024)),
-            ("vitdet-1024", 550, lambda: bench_vitdet(args, 1024)),
-            ("vitdet-672", 500, lambda: bench_vitdet(args, 672)),
-            ("vitdet-e2e-672", 550, lambda: bench_vitdet_e2e(args, 672)),
-            ("vivit-latency", 400, lambda: bench_vivit_latency(args)),
+            ("vivit", 450, lambda: bench_vivit_throughput(args)),
+            ("vitdet-e2e-1024", 300, lambda: bench_vitdet_e2e(args, 1024)),
+            ("vitdet-1024", 300, lambda: bench_vitdet(args, 1024)),
+            ("vitdet-672", 250, lambda: bench_vitdet(args, 672)),
+            ("vitdet-e2e-672", 250, lambda: bench_vitdet_e2e(args, 672)),
+            ("vivit-latency", 280, lambda: bench_vivit_latency(args)),
         ])
         return
 

@@ -64,21 +64,42 @@ def time_repeated(fn, args, repeat=64, iters=5, warmup=1, perturb=None):
     return float(np.median(times)) / repeat
 
 
+def compile_parallel(jobs):
+    """AOT-compile [(fn, args), ...] CONCURRENTLY and return the compiled
+    executables (callable with the same args). The platform's compile
+    service parallelizes across requests (measured: 4 distinct programs in
+    5.0 s threaded vs 23.3 s serial), so batching a workload's programs
+    through one thread pool cuts its cold-start near-linearly — the lever
+    that fits all six bench workloads inside the round driver's ~29 min
+    kill window (BENCH_r03/r04 were rc=124 on serial compiles)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not jobs:
+        return []
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futs = [
+            ex.submit(lambda f=f, a=a: jax.jit(f).lower(*a).compile())
+            for f, a in jobs
+        ]
+        return [f.result() for f in futs]
+
+
 def time_jitted_pair(fn_a, args_a, fn_b, args_b, iters=5, warmup=2,
                      full=False):
     """Time two jitted functions INTERLEAVED (A, B, A, B, ...) so clock /
     thermal / platform drift hits both alike — the A/B protocol behind every
     dense-vs-eventful ratio in docs/PERF_NOTES.md. Returns (sec_a, sec_b)
     medians, or the two raw time arrays with ``full=True`` (variance
-    quantification: the axon remote call floor drifts run to run)."""
+    quantification: the axon remote call floor drifts run to run).
+    The two programs compile concurrently (compile_parallel)."""
 
-    @jax.jit
-    def probed_a(*a):
+    def raw_a(*a):
         return scalar_probe(fn_a(*a))
 
-    @jax.jit
-    def probed_b(*a):
+    def raw_b(*a):
         return scalar_probe(fn_b(*a))
+
+    probed_a, probed_b = compile_parallel([(raw_a, args_a), (raw_b, args_b)])
 
     for _ in range(max(warmup, 1)):
         float(probed_a(*args_a))
