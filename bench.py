@@ -180,6 +180,8 @@ def bench_vitdet(args, size):
                     gate.policy = TokenNormTopK(k=k)
                 if getattr(args, "no_share", False):
                     blk.share_gate_passes = False
+                if getattr(args, "no_resident", False):
+                    blk.window_resident_qkv = False
                 if isinstance(blk, EventfulBlock):
                     if args.fuse_mm1:
                         blk.fuse_matmul_1 = True
@@ -505,6 +507,10 @@ def main():
         help="force matmul-1 fusion into the A-V kernel on EventfulBlock "
         "even where the per-shape auto default would not dispatch it "
         "(the auto rule follows av_kernel; see EventfulBlock.fuse_matmul_1)")
+    parser.add_argument("--no-resident", action="store_true",
+        help="disable the window-resident qkv buffer on windowed tokenwise "
+        "blocks (A/B lever for the resident-layout win; see "
+        "EventfulTokenwiseBlock.window_resident_qkv)")
     parser.add_argument("--no-share", action="store_true",
         help="disable gate-pass sharing (the proj/MLP kernels' next-gate "
         "norms emission; A/B lever for docs/PERF_NOTES.md round 4)")

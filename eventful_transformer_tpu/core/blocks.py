@@ -2027,19 +2027,14 @@ class EventfulBlock(EventfulMatmul1Block):
         use_kernel = self._use_av_kernel(
             ctx, self._pooled_tokens(x.shape[-2]), x.shape[0]
         )
-        fuse_bias = False
-        if use_kernel and self.relative_position is not None:
-            from eventful_transformer_tpu.ops.pallas.av_softmax import row_block
-
-            ag = self.relative_position.attention_size
-            fuse_bias = row_block(ag[0], ag[1]) > 0
-        # matmul-1 can only fuse when the bias also fuses (the XLA bias is
-        # applied to the materialized logits, which fused matmul-1 removes).
+        # The bias fuses at any shape (the kernel takes precomputed per-axis
+        # TERMS and expands them in VMEM; no row-block tile-legality
+        # constraint remains — see ops/pallas/av_softmax.py).
+        fuse_bias = use_kernel and self.relative_position is not None
         fuse_mm1 = (
             self.fuse_matmul_1 is not False
             and use_kernel
             and self.recompute_product
-            and (self.relative_position is None or fuse_bias)
         )
         a, q, v, state, index_k, mask_k = self._forward_matmul_1_incremental(
             ctx, params, state, x, index, mask, aux,
@@ -2130,20 +2125,18 @@ class EventfulBlock(EventfulMatmul1Block):
             )
             kw = {}
             if rel is not None:
-                # rel-pos bias fused into the kernel; reference-parity
-                # counts as in RelativePositionEmbedding.apply's kernel path
+                # rel-pos bias fused into the kernel: the decomposed
+                # per-axis terms are contracted here in XLA (thin einsums
+                # over UNSCALED q, counted by bias_terms with the
+                # reference's einsum keys) and expanded onto the logits
+                # inside the kernel with an exact 0/1 matmul.
                 q, derived = rel
-                ag = self.relative_position.attention_size
-                pg = self.relative_position._pooled_size()
                 kw = dict(
-                    q=q,
-                    y_rel=derived["y_relative"],
-                    x_rel=derived["x_relative"],
-                    a=ag,
-                    p=pg,
+                    terms=self.relative_position.bias_terms(ctx, q, derived),
+                    p=self.relative_position._pooled_size(),
                 )
-                rows = p_a_state.size // p_a_state.shape[-1]
-                ctx.add("einsum_flops", float(rows * q.shape[-1] * (pg[0] + pg[1])))
+                # reference-parity counts for the two broadcast adds
+                # (RelativePositionEmbedding.apply's add path)
                 ctx.add("add_flops", 2.0 * p_a_state.size)
             if qk is not None:
                 kw["q"] = qk[0]

@@ -211,6 +211,30 @@ class RelativePositionEmbedding(Module):
         except Exception:
             return False
 
+    def bias_terms(self, ctx, q, derived):
+        """(B, H, N, p0 + p1) decomposed per-axis bias terms on the flat
+        token axis — the XLA-side half of the fused-bias A·V kernel
+        (ops/pallas/av_softmax): the kernel expands these onto the (N, Np)
+        logits with an exact 0/1 matmul in VMEM, so the full bias never
+        exists in HBM. Same einsum count keys/values as the reference's two
+        term einsums (utils.py:157-166)."""
+        a = self.attention_size
+        p = self._pooled_size()
+        dtype = q.dtype
+        if self._use_flat_matmul() and "y_flat" in derived:
+            term_y, term_x = self._flat_terms(ctx, q, derived, a, p, dtype)
+        else:
+            bsz, heads = q.shape[:2]
+            q5 = q.reshape(q.shape[:2] + a + q.shape[-1:])
+            y_rel = derived["y_relative"].astype(dtype)
+            x_rel = derived["x_relative"].astype(dtype)
+            c = q.shape[-1]
+            term_y = counted_einsum(ctx, "abhwc,hkc->abhwk", q5, y_rel, c)
+            term_x = counted_einsum(ctx, "abhwc,wkc->abhwk", q5, x_rel, c)
+            term_y = term_y.reshape(bsz, heads, -1, p[0])
+            term_x = term_x.reshape(bsz, heads, -1, p[1])
+        return jnp.concatenate([term_y, term_x], axis=-1)
+
     def apply(self, ctx, params, x, q, derived=None):
         """Add decomposed relative position terms to attention logits x
         (reference utils.py:139-171). x: (batch, heads, N, Np); q: (batch,

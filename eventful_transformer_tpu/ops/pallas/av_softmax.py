@@ -13,23 +13,36 @@ This kernel does the whole chain in ONE pass at the traffic floor: read
 logits and p_a once, write p_a' once, accumulate the (row-block, d) output
 in VMEM — the softmax activations never exist in HBM. Softmax is computed
 in f32 (max-subtracted, as jax.nn.softmax) and rounded to the state dtype;
-the matmul accumulates f32 on the MXU.
+the matmuls run with working-dtype inputs and f32 MXU accumulation — the
+same trajectory as the XLA paths they replace. (A round-5 profile caught
+the original formulation upcasting q/k to f32 before matmul-1: f32xf32
+dots run ~6 MXU passes, and the kernel measured 1.46 ms/block-frame
+against a ~0.2 ms traffic+FLOP floor at ViTDet-1024.)
 
-When ``q`` and the decomposed rel-pos tables are passed, the bias is also
-computed in-kernel and added to the logits before the softmax — the right
-fusion home for the bias: a STANDALONE bias kernel only adds an HBM
-materialization boundary (measured: dense-1024 44.7 -> 48.5 ms/frame,
-because XLA fuses the plain bias ADD into the softmax pass anyway), whereas
-here the logits already stop at this kernel. The bias math follows the
-flat-expander formulation (core/embeddings.py): the row block covers whole
-query rows, so each grid instance contracts q against its OWN y-table slice
-and the shared x table, then exact 0/1 mask/collapse/expand matmuls built
-from iotas assemble the (bn, Np) bias without it ever leaving VMEM.
+Rel-pos bias: the caller precomputes the decomposed per-axis TERMS
+``(B, H, N, p0 + p1)`` in XLA (RelativePositionEmbedding.bias_terms — two
+thin einsums over q, ~0.8 GFLOP at ViTDet-1024) and the kernel expands
+them onto the (row-block, Np) logits with one exact 0/1 expander matmul
+built from iotas in VMEM (single-nonzero-per-output MXU row sums:
+``bias[n, kp] = term_y[n, kp // p1] + term_x[n, kp % p1]``). The previous
+formulation contracted q against the full per-axis TABLES in-kernel
+(~50 GFLOP/block-frame of mask/collapse machinery at ViTDet-1024, ~4x the
+cost of matmul-1 itself) and constrained the row block to whole query
+rows; with precomputed terms any row block is legal, so the fused path no
+longer needs a tile-legality fallback. This is also the right fusion home
+for the bias: a STANDALONE bias kernel only adds an HBM materialization
+boundary (measured: dense-1024 44.7 -> 48.5 ms/frame), whereas here the
+logits already stop at this kernel.
 
-Semantics: exactly ``select_cols(p_a, softmax(rel(logits)), index, mask)``
-and the subsequent matmul (parity-tested in tests/test_pallas.py). The grid
-blocks over (batch*heads, N); cov broadcasts per batch element across heads
-and rows.
+Fused matmul-1 (``k`` + ``inv_scale``): the logits are computed in-kernel
+as ``(q * inv_scale) @ k^T`` per row block — the (B, H, N, Np) logits
+never exist in HBM (~400 MB of pure traffic per global block-frame at
+ViTDet-1024).
+
+Semantics: exactly ``select_cols(p_a, softmax(logits + bias), index,
+mask)`` and the subsequent matmul (parity-tested in tests/test_pallas.py).
+The grid blocks over (batch*heads, N); cov broadcasts per batch element
+across heads and rows.
 """
 
 from __future__ import annotations
@@ -44,85 +57,54 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eventful_transformer_tpu.ops.pallas.common import (
     iota2 as _iota2,
-    row_block as _row_block,
 )
 
 
-def _bias_block(q, yk, xr, r, a1, p0, p1, np_):
-    """Decomposed rel-pos bias for a block of r whole query rows: q (bn, c),
-    yk (r*p0, c) this block's y-table slice, xr (a1*p1, c). Returns (bn, Np)
-    f32. All matmuls f32-accumulated; the mask/collapse/expand matmuls are
-    exact single-nonzero copies."""
-    bn = r * a1
-    rp0, xp = r * p0, a1 * p1
-    f32 = jnp.float32
-    rows = _iota2((bn, 1), 0)
-    ly = rows // a1
-    lx = rows % a1
-    full_y = jax.lax.dot_general(
-        q, yk, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (bn, r*p0)
-    mask_y = ly == _iota2((bn, rp0), 1) // p0
-    ky = (_iota2((rp0, p0), 0) % p0 == _iota2((rp0, p0), 1)).astype(f32)
-    term_y = jax.lax.dot_general(
-        jnp.where(mask_y, full_y, 0.0), ky,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (bn, p0)
-    full_x = jax.lax.dot_general(
-        q, xr, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (bn, a1*p1)
-    mask_x = lx == _iota2((bn, xp), 1) // p1
-    kx = (_iota2((xp, p1), 0) % p1 == _iota2((xp, p1), 1)).astype(f32)
-    term_x = jax.lax.dot_general(
-        jnp.where(mask_x, full_x, 0.0), kx,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (bn, p1)
-    ey = (_iota2((p0, np_), 0) == _iota2((p0, np_), 1) // p1).astype(f32)
-    ex = (_iota2((p1, np_), 0) == _iota2((p1, np_), 1) % p1).astype(f32)
-    return jax.lax.dot_general(
-        term_y, ey, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) + jax.lax.dot_general(
-        term_x, ex, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
+def _expander(p0, p1, np_, dtype):
+    """(p0 + p1, Np) exact 0/1 bias expander: row r < p0 hits the key
+    columns with kp // p1 == r (y term), row p0 + r hits kp % p1 == r
+    (x term). Each output element of term @ expander sums exactly one y
+    and one x value, so the matmul is exact at any dtype."""
+    rows = _iota2((p0 + p1, np_), 0)
+    cols = _iota2((p0 + p1, np_), 1)
+    # The two patterns are disjoint by construction — cols // p1 <= p0 - 1
+    # never matches a row >= p0, and rows - p0 < 0 never matches a
+    # non-negative cols % p1 — so a sum of indicators is an exact 0/1
+    # matrix (and avoids vector-i1 select, which Mosaic cannot lower).
+    e_y = (cols // p1 == rows).astype(dtype)
+    e_x = (cols % p1 == rows - p0).astype(dtype)
+    return e_y + e_x
 
 
-def _make_kernel(with_bias, r, a1, p0, p1, np_, inv_scale=None):
+def _make_kernel(with_bias, p0, p1, np_, inv_scale=None):
     fuse_mm1 = inv_scale is not None
 
     def kernel(*refs):
         if fuse_mm1:
             if with_bias:
-                (p_ref, cov_ref, v_ref, q_ref, k_ref, yk_ref, xr_ref,
-                 p_out, y_out) = refs
+                p_ref, cov_ref, v_ref, q_ref, k_ref, t_ref, p_out, y_out = refs
             else:
                 p_ref, cov_ref, v_ref, q_ref, k_ref, p_out, y_out = refs
-            # matmul-1 in-kernel: the (B, H, N, Np) logits never exist in
-            # HBM (200 MB bf16 at ViTDet-1024, written by XLA matmul-1 and
-            # re-read here — ~2 ms/frame of pure traffic). Scaled q on the
-            # product only; the rel-pos bias uses UNSCALED q (reference
-            # blocks.py:220-223 + utils.py:139-171).
+            # matmul-1 in-kernel at the XLA path's precision: working-dtype
+            # inputs, f32 MXU accumulation. Scaled q on the product
+            # (reference blocks.py:220-223).
+            qs = q_ref[0, 0] * jnp.asarray(inv_scale, q_ref.dtype)
             l32 = jax.lax.dot_general(
-                q_ref[0, 0].astype(jnp.float32) * jnp.float32(inv_scale),
-                k_ref[0, 0].astype(jnp.float32),
+                qs, k_ref[0, 0],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (bn, Np)
         else:
             if with_bias:
-                (logits_ref, p_ref, cov_ref, v_ref, q_ref, yk_ref, xr_ref,
-                 p_out, y_out) = refs
+                logits_ref, p_ref, cov_ref, v_ref, t_ref, p_out, y_out = refs
             else:
                 logits_ref, p_ref, cov_ref, v_ref, p_out, y_out = refs
             l32 = logits_ref[0, 0].astype(jnp.float32)  # (bn, Np)
         if with_bias:
-            l32 = l32 + _bias_block(
-                q_ref[0, 0], yk_ref[...], xr_ref[...], r, a1, p0, p1, np_
+            l32 = l32 + jax.lax.dot_general(
+                t_ref[0, 0], _expander(p0, p1, np_, t_ref.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
         m = jnp.max(l32, axis=-1, keepdims=True)
         e = jnp.exp(l32 - m)
@@ -139,45 +121,38 @@ def _make_kernel(with_bias, r, a1, p0, p1, np_, inv_scale=None):
     return kernel
 
 
-def row_block(a0, a1, cap=512):
-    """Largest tile-legal bias row block; 0 if none exists (caller falls
-    back to XLA bias on materialized logits). See common.row_block."""
-    return _row_block(a0, a1, cap, fallback=0)
-
-
-@partial(jax.jit, static_argnames=("a", "p", "block_n", "inv_scale", "interpret"))
+@partial(jax.jit, static_argnames=("p", "block_n", "inv_scale", "interpret"))
 def softmax_select_matmul(
-    logits, p_a, cov, p_v, q=None, y_rel=None, x_rel=None, k=None, *,
-    a=None, p=None, block_n=512, inv_scale=None, interpret=False,
+    logits, p_a, cov, p_v, q=None, k=None, terms=None, *,
+    p=None, block_n=512, inv_scale=None, interpret=False,
 ):
     """logits (B, H, N, Np) pre-softmax attention logits; p_a (B, H, N, Np)
     stale attention state; cov (B, Np) column selection coverage (>0 =
-    refresh); p_v (B, H, Np, d) updated value state. Optional fused rel-pos
-    bias: q (B, H, N, c), y_rel (a0, p0, c), x_rel (a1, p1, c) with
-    a = (a0, a1) query grid, p = (p0, p1) pooled key grid.
+    refresh); p_v (B, H, Np, d) updated value state.
+
+    Optional fused rel-pos bias: ``terms`` (B, H, N, p0 + p1) decomposed
+    per-axis bias terms (RelativePositionEmbedding.bias_terms) with
+    ``p = (p0, p1)`` the pooled key grid; the kernel expands them onto the
+    key axis with an exact 0/1 matmul in VMEM.
 
     Fused matmul-1: pass ``k`` (B, H, Np, c) + ``inv_scale`` (and ``q``,
     with ``logits=None``) and the kernel computes
-    ``logits = (q * inv_scale) @ k^T`` per row block in f32 — the full
-    logits tensor never exists in HBM.
+    ``logits = (q * inv_scale) @ k^T`` per row block — the full logits
+    tensor never exists in HBM.
 
     Returns (p_a', out) with p_a' = where(cov, softmax(logits + bias), p_a)
     and out = p_a' @ p_v.
     """
     fuse_mm1 = k is not None
     b, h, n, np_ = (q.shape[:3] + (p_a.shape[-1],)) if fuse_mm1 else logits.shape
-    ldtype = q.dtype if fuse_mm1 else logits.dtype
     d = p_v.shape[-1]
-    with_bias = y_rel is not None
+    with_bias = terms is not None
     if with_bias:
-        a0, a1 = a
         p0, p1 = p
-        r = row_block(a0, a1, block_n)
-        assert r, (a, "no tile-legal row block; compute the bias in XLA")
-        bn = r * a1
+        assert terms.shape[-1] == p0 + p1, (terms.shape, p)
     else:
-        r = a1 = p0 = p1 = 0
-        bn = min(block_n, n)
+        p0 = p1 = 0
+    bn = min(block_n, n)
     grid = (b * h, pl.cdiv(n, bn))
     row = lambda i, j: (i // h, i % h, j, 0)
     in_specs = [
@@ -189,28 +164,18 @@ def softmax_select_matmul(
     if not fuse_mm1:
         in_specs.insert(0, pl.BlockSpec((1, 1, bn, np_), row))
         args.insert(0, logits)
-    if fuse_mm1 or with_bias:
-        c = q.shape[-1]
-        in_specs.append(pl.BlockSpec((1, 1, bn, c), row))
-        args.append(q)
-    if fuse_mm1:
-        c = q.shape[-1]
-        in_specs.append(
-            pl.BlockSpec((1, 1, np_, c), lambda i, j: (i // h, i % h, 0, 0))
-        )
-        args.append(k)
-    if with_bias:
+    else:
         c = q.shape[-1]
         in_specs += [
-            pl.BlockSpec((r * p0, c), lambda i, j: (j, 0)),
-            pl.BlockSpec((a1 * p1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, bn, c), row),
+            pl.BlockSpec((1, 1, np_, c), lambda i, j: (i // h, i % h, 0, 0)),
         ]
-        args += [
-            y_rel.reshape(a0 * p0, c).astype(ldtype),
-            x_rel.reshape(a1 * p1, c).astype(ldtype),
-        ]
+        args += [q, k]
+    if with_bias:
+        in_specs.append(pl.BlockSpec((1, 1, bn, p0 + p1), row))
+        args.append(terms)
     outs = pl.pallas_call(
-        _make_kernel(with_bias, r, a1, p0, p1, np_,
+        _make_kernel(with_bias, p0, p1, np_,
                      inv_scale=inv_scale if fuse_mm1 else None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,

@@ -533,19 +533,18 @@ def test_av_softmax_kernel_fused_relpos_bias():
         np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
 
 
-def test_av_softmax_kernel_relpos_no_tile_legal_row_block():
-    """When no tile-legal row block exists for the bias (row_block == 0),
-    the kernel path must fall back to XLA bias on MATERIALIZED logits —
-    i.e. fused matmul-1 must disable itself rather than drop the bias."""
+def test_av_softmax_kernel_relpos_awkward_grid():
+    """Rel-pos bias at a grid with no tile-legal whole-row block (the shape
+    that forced the old in-kernel-tables formulation to fall back to XLA
+    bias on materialized logits): with precomputed bias TERMS
+    (RelativePositionEmbedding.bias_terms) the kernel fuses bias + matmul-1
+    at ANY shape and must match the unfused chain, counts included."""
     import copy
 
     import jax
 
     from eventful_transformer_tpu.core.blocks import EventfulBlock
     from eventful_transformer_tpu.core.policies import TokenNormTopK
-    from eventful_transformer_tpu.ops.pallas.av_softmax import row_block
-
-    assert row_block(6, 2) == 0
     rng = np.random.default_rng(41)
     B, n, C = 2, 12, 64
     kwargs = dict(
