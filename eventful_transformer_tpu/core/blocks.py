@@ -173,7 +173,28 @@ class Block(Module):
         analog of the reference's cached y_relative/x_relative)."""
         if self.relative_position is None:
             return {}
-        return {"relative": self.relative_position.precompute(params["relative_position"])}
+        aux = {
+            "relative": self.relative_position.precompute(
+                params["relative_position"]
+            )
+        }
+        if self.window_size is not None and any(self._compute_window_padding()):
+            # Pad-row (qkv-bias-row) bias terms for the fused window kernel:
+            # a function of params only, hoisted out of the frame scan.
+            from eventful_transformer_tpu.ops.pallas.window_attention import (
+                window_bias_pad_terms,
+            )
+
+            pad_bias = params["qkv"]["bias"]
+            aux["window_pad_terms"] = window_bias_pad_terms(
+                pad_bias,
+                aux["relative"]["y_relative"],
+                aux["relative"]["x_relative"],
+                self.heads,
+                pad_bias.dtype,
+                tab=aux["relative"].get("window_tab"),
+            )
+        return aux
 
     # -- forward ------------------------------------------------------------
 
@@ -402,6 +423,8 @@ class Block(Module):
         docstring for the recorded negative result."""
         from eventful_transformer_tpu.ops.pallas.window_attention import (
             window_attention,
+            window_bias_pad_terms,
+            window_bias_terms,
         )
 
         interpret = jax.devices()[0].platform == "cpu"
@@ -413,8 +436,25 @@ class Block(Module):
                 params["relative_position"]
             )
             p_sz = rp._pooled_size()
+            # Bias terms contracted here in XLA (one thin einsum over the
+            # packed qkv's q lanes); the kernel expands them in VMEM. The
+            # per-token table and the pad-row terms come precomputed from
+            # aux (loop-invariant; built here only on the direct-call path).
+            terms = window_bias_terms(
+                x, derived["y_relative"], derived["x_relative"], self.heads,
+                tab=derived.get("window_tab"),
+            )
+            pad_terms = None
+            if geom is not None:
+                pad_terms = (aux or {}).get("window_pad_terms")
+                if pad_terms is None:
+                    pad_terms = window_bias_pad_terms(
+                        pad_bias, derived["y_relative"], derived["x_relative"],
+                        self.heads, x.dtype,
+                    )
+                pad_terms = pad_terms.astype(x.dtype)
             out = window_attention(
-                x, derived["y_relative"], derived["x_relative"], pad_bias,
+                x, terms, pad_bias, pad_terms,
                 heads=self.heads, scale=self.scale, a=rp.attention_size,
                 p=p_sz, geom=geom, interpret=interpret,
             )
@@ -427,7 +467,7 @@ class Block(Module):
             # window_size None = fused GLOBAL attention: the whole sequence
             # is a single "window" per batch row (same kernel, no geometry).
             out = window_attention(
-                x, None, None, pad_bias, heads=self.heads, scale=self.scale,
+                x, None, pad_bias, heads=self.heads, scale=self.scale,
                 a=tuple(self.window_size) if self.window_size else None,
                 geom=geom, interpret=interpret,
             )

@@ -95,6 +95,14 @@ class RelativePositionEmbedding(Module):
             relative = jnp.swapaxes(relative, 1, 2)
         return relative
 
+    # Combined per-token window table (t, p0 + p1, c) for the fused window
+    # kernel's XLA-side term einsum: tab[n] = [y_relative[n // a1],
+    # x_relative[n % a1]]. Precomputed (hoisted out of the frame scan —
+    # the repeat/tile copies measured ~1 ms/frame at ViTDet-672 when built
+    # per call) for small grids only: windows are 14x14=196 tokens; the
+    # global grids (42x42/64x64) never take the window-kernel path.
+    WINDOW_TAB_MAX_TOKENS = 512
+
     def precompute(self, params):
         derived = {
             "y_relative": self._get_relative(params["y_embedding"], dim=0),
@@ -102,6 +110,15 @@ class RelativePositionEmbedding(Module):
         }
         if self._use_flat_matmul():
             derived.update(self._precompute_flat(derived))
+        a = self.attention_size
+        if self.pool_size is None and prod(a) <= self.WINDOW_TAB_MAX_TOKENS:
+            derived["window_tab"] = jnp.concatenate(
+                [
+                    jnp.repeat(derived["y_relative"], a[1], axis=0),
+                    jnp.tile(derived["x_relative"], (a[0], 1, 1)),
+                ],
+                axis=1,
+            )
         return derived
 
     def _pooled_size(self):

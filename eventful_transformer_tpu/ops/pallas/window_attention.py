@@ -1,4 +1,4 @@
-"""Fused windowed multi-head attention with in-kernel rel-pos bias.
+"""Fused windowed multi-head attention with precomputed rel-pos bias terms.
 
 ViTDet's windowed blocks (reference blocks.py:262-287 window partition +
 205-246 attention) dominate the backbone: 8 of 12 blocks at both 672 and
@@ -10,12 +10,21 @@ largest profiled cost category at 672 (docs/PERF_NOTES.md round 3).
 
 This kernel computes attention for one WINDOW per grid instance entirely in
 VMEM: the packed (T, 3C) qkv rows are read once, heads are sliced at static
-lane offsets (never materialized in HBM), the decomposed rel-pos bias is
-contracted in-kernel from the same flat-expander formulation as
-core/embeddings.py (exact 0/1 collapse/expand matmuls), softmax runs in
-f32, and only the (T, C) output is written. Window size is static (14x14
-at every ViTDet operating point), so T = 196 and all shapes are compile
-time constants.
+lane offsets (never materialized in HBM), softmax runs in f32, and only
+the (T, C) output is written. Window size is static (14x14 at every ViTDet
+operating point), so T = 196 and all shapes are compile time constants.
+
+Rel-pos bias: the caller precomputes the decomposed per-axis TERMS
+(:func:`window_bias_terms` — thin XLA einsums reading the q lanes of the
+packed qkv through a FREE per-head reshape) and the kernel expands them
+onto the (T, T) logits with one exact 0/1 iota-built matmul per head
+(``bias[n, m] = term_y[n, m // a1] + term_x[n, m % a1]``). The original
+formulation contracted q against the full per-axis tables in-kernel —
+~12M f32 MACs per head per window at the 14x14 ViTDet window, ~3x the
+attention matmuls themselves — and together with f32 q/k upcasts (f32xf32
+dots run ~6 MXU passes) measured 177 us/invocation at 672 against a
+~10 us floor. Matmuls now run with working-dtype inputs and f32 MXU
+accumulation, the exact trajectory of the XLA path.
 
 Semantics match Block._forward_attention for the windowed/no-pool/no-ATS
 case (reference blocks.py:205-246 + utils.py:139-171): logits = (q/scale)
@@ -87,17 +96,77 @@ def _attend(x, heads, head_dim, inv_scale, bias_ops, yk, xr, out_dtype):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _expander(p0, p1, np_, dtype):
+    """(p0 + p1, Np) exact 0/1 bias expander (same construction as
+    ops/pallas/av_softmax._expander): row r < p0 hits key columns with
+    kp // p1 == r, row p0 + r hits kp % p1 == r. The two patterns are
+    disjoint, so a sum of indicators is exact 0/1 (and avoids vector-i1
+    select, which Mosaic cannot lower)."""
+    rows = _iota2((p0 + p1, np_), 0)
+    cols = _iota2((p0 + p1, np_), 1)
+    e_y = (cols // p1 == rows).astype(dtype)
+    e_x = (cols % p1 == rows - p0).astype(dtype)
+    return e_y + e_x
+
+
+def _attend_terms(x, heads, head_dim, inv_scale, terms, pad_terms, valid,
+                  out_dtype, p0, p1):
+    """One window's attention with precomputed bias terms. x (T, 3C) packed
+    qkv rows (pad rows already substituted); terms (H, T, p0 + p1) or None;
+    pad_terms (H, T, p0 + p1) substituted at ~valid rows (pad-row outputs
+    are cropped downstream, but the resident-buffer path keeps them, so the
+    substitution preserves exact parity with the XLA chain). All matmuls:
+    working-dtype inputs, f32 MXU accumulation."""
+    c = heads * head_dim
+    n = x.shape[0]
+    e = _expander(p0, p1, n, x.dtype) if terms is not None else None
+    outs = []
+    for h in range(heads):
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:, c + h * head_dim:c + (h + 1) * head_dim]
+        v = x[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q * jnp.asarray(inv_scale, q.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, T) f32
+        if terms is not None:
+            t_h = terms[h]
+            if pad_terms is not None:
+                t_h = jnp.where(valid, t_h, pad_terms[h])
+            logits = logits + jax.lax.dot_general(
+                t_h.astype(e.dtype), e,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - m)
+        attn = (ex / jnp.sum(ex, axis=-1, keepdims=True)).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                attn, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
                  geom=None):
     def kernel(*refs):
         if geom is not None:
             pb_ref, refs = refs[0], refs[1:]
         if with_bias:
-            x_ref, yk_ref, xr_ref, out_ref = refs
+            if geom is not None:
+                x_ref, t_ref, pt_ref, out_ref = refs
+            else:
+                x_ref, t_ref, out_ref = refs
         else:
             x_ref, out_ref = refs
         x = x_ref[0]  # (T, 3C)
         n = x.shape[0]
+        valid = None
         if geom is not None:
             # The spatial map was ZERO-padded to the window grid (a cheap
             # XLA pad, vs. the broadcast+set of a full qkv-bias map that
@@ -113,13 +182,11 @@ def _make_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
             c = idx % a1 + wx * a1
             valid = (r < vh) & (c < vw)
             x = jnp.where(valid, x, pb_ref[...].astype(x.dtype))
-        bias_ops = yk = xr = None
-        if with_bias:
-            bias_ops = _bias_operands(n, a0, a1, p0, p1)
-            yk = yk_ref[...].astype(jnp.float32)  # (a0*p0, c)
-            xr = xr_ref[...].astype(jnp.float32)  # (a1*p1, c)
-        out_ref[0] = _attend(
-            x, heads, head_dim, inv_scale, bias_ops, yk, xr, out_ref.dtype
+        out_ref[0] = _attend_terms(
+            x, heads, head_dim, inv_scale,
+            t_ref[0] if with_bias else None,
+            pt_ref[...] if (with_bias and geom is not None) else None,
+            valid, out_ref.dtype, p0, p1,
         )
 
     return kernel
@@ -157,55 +224,106 @@ def _make_grid_kernel(heads, head_dim, inv_scale, with_bias, a0, a1, p0, p1,
     return kernel
 
 
+def _window_tab(y_rel, x_rel, dtype):
+    """Combined (t, p0 + p1, c) per-token table: tab[n] = [y_rel[n // a1],
+    x_rel[n % a1]]. Loop-invariant — callers inside a frame scan should
+    pass the precomputed copy from RelativePositionEmbedding.precompute
+    (the repeat/tile copies measured ~1 ms/frame at ViTDet-672 when built
+    per call)."""
+    a1 = x_rel.shape[0]
+    a0 = y_rel.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.repeat(y_rel.astype(dtype), a1, axis=0),
+            jnp.tile(x_rel.astype(dtype), (a0, 1, 1)),
+        ],
+        axis=1,
+    )
+
+
+def window_bias_terms(qkv, y_rel, x_rel, heads, tab=None):
+    """(Bw, H, T, p0 + p1) decomposed rel-pos bias terms for window rows,
+    contracted in XLA: the q lanes of the packed qkv reshape per-head for
+    FREE (head-major contiguous), the per-token table ``tab`` comes from
+    RelativePositionEmbedding.precompute (or is built here for direct
+    calls), and the single einsum is thin (Bw*T*H*c*(p0+p1) MACs — ~150M
+    at the ViTDet-672 window shape). The kernel expands these onto the
+    logits with exact 0/1 matmuls in VMEM. Uses UNSCALED q (reference
+    utils.py:139-171)."""
+    bw, t, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    if tab is None:
+        tab = _window_tab(y_rel, x_rel, qkv.dtype)
+    assert t == tab.shape[0], (qkv.shape, tab.shape)
+    q = qkv[..., :c].reshape(bw, t, heads, hd)
+    return jnp.einsum("bthc,tpc->bhtp", q, tab.astype(qkv.dtype))
+
+
+def window_bias_pad_terms(pad_bias, y_rel, x_rel, heads, dtype, tab=None):
+    """(H, T, p0 + p1) bias terms of the qkv-bias row (the value pad tokens
+    take): substituted at pad rows in-kernel so pad-row outputs match the
+    XLA chain exactly (they survive in the window-resident buffer).
+    Loop-invariant — precomputed into the block aux (Block.precompute)."""
+    c3 = pad_bias.size
+    c = c3 // 3
+    hd = c // heads
+    qb = pad_bias.reshape(-1)[:c].reshape(heads, hd).astype(dtype)
+    if tab is None:
+        tab = _window_tab(y_rel, x_rel, dtype)
+    return jnp.einsum("hc,tpc->htp", qb, tab.astype(dtype))
+
+
 @partial(
     jax.jit,
     static_argnames=("heads", "scale", "a", "p", "geom", "interpret"),
 )
 def window_attention(
-    qkv, y_rel=None, x_rel=None, pad_bias=None, *, heads, scale, a=None,
+    qkv, terms=None, pad_bias=None, pad_terms=None, *, heads, scale, a=None,
     p=None, geom=None, interpret=False,
 ):
     """qkv (Bw, T, 3C) packed per-window rows in the QKV domain -> attention
-    output (Bw, T, C). Optional decomposed rel-pos bias from y_rel
-    (a0, p0, c) / x_rel (a1, p1, c) with a = (a0, a1) the window query grid
-    and p the key grid (== a: windowed blocks never pool).
+    output (Bw, T, C). Optional decomposed rel-pos bias via precomputed
+    ``terms`` (Bw, H, T, p0 + p1) (:func:`window_bias_terms`) with
+    p = (p0, p1) the key grid (== a: windowed blocks never pool).
 
     Window padding: pass ``geom = (nh, nw, valid_h, valid_w)`` (the window
-    grid and the un-padded token extents) plus ``pad_bias`` (the (3C,)
-    qkv-bias row) when ``qkv`` was partitioned from a ZERO-padded spatial
-    map — the kernel substitutes the bias row at out-of-image tokens,
-    replacing the HBM broadcast+set of a full bias map."""
+    grid ``a = (a0, a1)`` and the un-padded token extents) plus ``pad_bias``
+    (the (3C,) qkv-bias row) when ``qkv`` was partitioned from a
+    ZERO-padded spatial map — the kernel substitutes the bias row (and
+    ``pad_terms``, :func:`window_bias_pad_terms`, when biased) at
+    out-of-image tokens, replacing the HBM broadcast+set of a full bias
+    map."""
     bw, t, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // heads
-    with_bias = y_rel is not None
+    with_bias = terms is not None
     with_pad = geom is not None
+    if a is not None:
+        a0, a1 = a
+    else:
+        a0 = a1 = 0
     pad_args, pad_specs = [], []
     if with_pad:
         pad_args = [pad_bias.reshape(1, c3).astype(qkv.dtype)]
         pad_specs = [pl.BlockSpec((1, c3), lambda i: (0, 0))]
+    args = pad_args + [qkv]
+    in_specs = pad_specs + [pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0))]
     if with_bias:
-        a0, a1 = a
         p0, p1 = p if p is not None else a
-        assert t == a0 * a1 and t == p0 * p1, (t, a, p)
-        args = pad_args + [
-            qkv,
-            y_rel.reshape(a0 * p0, head_dim).astype(qkv.dtype),
-            x_rel.reshape(a1 * p1, head_dim).astype(qkv.dtype),
-        ]
-        in_specs = pad_specs + [
-            pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((a0 * p0, head_dim), lambda i: (0, 0)),
-            pl.BlockSpec((a1 * p1, head_dim), lambda i: (0, 0)),
-        ]
+        assert t == p0 * p1, (t, a, p)
+        assert terms.shape == (bw, heads, t, p0 + p1), (terms.shape,)
+        args.append(terms)
+        in_specs.append(
+            pl.BlockSpec((1, heads, t, p0 + p1), lambda i: (i, 0, 0, 0))
+        )
+        if with_pad:
+            args.append(pad_terms)
+            in_specs.append(
+                pl.BlockSpec((heads, t, p0 + p1), lambda i: (0, 0, 0))
+            )
     else:
-        if a is not None:
-            a0, a1 = a
-        else:
-            a0 = a1 = 0
         p0 = p1 = 0
-        args = pad_args + [qkv]
-        in_specs = pad_specs + [pl.BlockSpec((1, t, c3), lambda i: (i, 0, 0))]
     return pl.pallas_call(
         _make_kernel(heads, head_dim, 1.0 / scale, with_bias, a0, a1, p0, p1,
                      geom=geom),

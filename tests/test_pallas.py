@@ -685,6 +685,7 @@ def test_window_attention_grid_matches_partitioned():
     from eventful_transformer_tpu.ops.pallas.window_attention import (
         window_attention,
         window_attention_grid,
+        window_bias_terms,
     )
 
     rng = np.random.default_rng(31)
@@ -697,8 +698,8 @@ def test_window_attention_grid_matches_partitioned():
     xp = x.reshape(b, hp // wh, wh, wp // ww, ww, 3 * c)
     xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, 3 * c)
     ref = window_attention(
-        xp, yr, xr, heads=heads, scale=scale, a=(wh, ww), p=(wh, ww),
-        interpret=True,
+        xp, window_bias_terms(xp, yr, xr, heads), heads=heads, scale=scale,
+        a=(wh, ww), p=(wh, ww), interpret=True,
     )
     ref = ref.reshape(b, hp // wh, wp // ww, wh, ww, c)
     ref = ref.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
