@@ -119,8 +119,24 @@ def nms_padded(boxes, scores, iou_threshold, max_out, block=_BLOCK):
     kept_boxes = jnp.zeros((max_out, 4), jnp.float32)
     kept_pos = jnp.zeros((max_out, 1), jnp.float32)
     kept_cnt = jnp.zeros((), jnp.int32)
-    kept_boxes, kept_pos, kept_cnt = jax.lax.fori_loop(
-        0, n_blocks, body, (kept_boxes, kept_pos, kept_cnt)
+    # Early exit once the kept set is FULL — exact: keeps are discovered in
+    # score order, so with kept_cnt >= max_out every output slot is final
+    # (mask compares out_slots < kept_cnt only below max_out) and later
+    # blocks are unobservable. Typical detection frames fill the kept set
+    # in the first block or two, skipping most of the serial chain.
+    def cond(state):
+        i, _, _, kept_cnt = state
+        return (i < n_blocks) & (kept_cnt < max_out)
+
+    def step(state):
+        i, kept_boxes, kept_pos, kept_cnt = state
+        kept_boxes, kept_pos, kept_cnt = body(
+            i, (kept_boxes, kept_pos, kept_cnt)
+        )
+        return i + 1, kept_boxes, kept_pos, kept_cnt
+
+    _, kept_boxes, kept_pos, kept_cnt = jax.lax.while_loop(
+        cond, step, (jnp.zeros((), jnp.int32), kept_boxes, kept_pos, kept_cnt)
     )
     # kept_pos holds positions in sorted order (exact in f32: < 2^24).
     indices = order[kept_pos[:, 0].astype(jnp.int32)].astype(jnp.int32)
