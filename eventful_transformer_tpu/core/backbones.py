@@ -205,9 +205,10 @@ class ViTBackbone(Module):
         # v2mlp is EXCLUDED: its qkv consumer computes norms inside an XLA
         # fusion that costs less than the emission adds to the MLP kernel
         # (measured ViViT k=98: 1.076x no-share vs 1.041x shared —
-        # docs/PERF_NOTES.md round 4). Only the v2/blocked consumers, whose
-        # norms are a separate ln_norms kernel pass, can win.
-        if block._fused_mode(n) not in ("v2", "blocked"):
+        # docs/PERF_NOTES.md round 4). Only the v2/blocked/v4 consumers,
+        # whose norms are a separate ln_norms kernel pass, can win (v4's
+        # kernel C is gate_group_mlp, the same emitter).
+        if block._fused_mode(n) not in ("v2", "blocked", "v4"):
             return None
         if getattr(nxt.qkv_gate.policy, "order", 2) != 2:
             return None

@@ -849,6 +849,10 @@ class EventfulTokenwiseBlock(Block):
             return False
         if self.fused_gates == "v1":
             return "v1" if self.recompute_buffers else False
+        if self.fused_gates == "v4":
+            # whole-block resident kernel (ops/pallas/block_fused.py):
+            # forced-only lever, measured round 5 (docs/PERF_NOTES.md)
+            return "v4" if self._v4_eligible() else "v2mlp"
         if self.fused_gates in ("v2", "v2mlp", "v1v2", "v3", "blocked", True):
             return "v2" if self.fused_gates is True else self.fused_gates
         try:
@@ -873,6 +877,127 @@ class EventfulTokenwiseBlock(Block):
         wins while the dense matmul is cheap relative to buffer traffic; at
         large N (ViTDet-1024) the gathered path wins."""
         return self.recompute_buffers and n_tokens <= self.RECOMPUTE_MAX_TOKENS
+
+    def _v4_eligible(self):
+        """Whole-block kernel structural eligibility: exactly the v2mlp
+        select-only/recompute semantics (TokenGate, recompute buffers, no
+        windows/pooling/rel-pos/ATS/SP, post-LN gates, plain attention) plus
+        the in-kernel top-k contract (mask-free order-2 TokenNormTopK on all
+        three gates — see _use_in_kernel_topk)."""
+        from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+        if (
+            self.stgt
+            or not self.recompute_buffers
+            or self.gate_before_ln
+            or self._attention_uses_index
+            or self.window_size is not None
+            or self.pool_size is not None
+            or self.relative_position is not None
+            or self.ats_fraction is not None
+            or self.sequence_parallel is not None
+            or self.matmul_2_cast is not None
+            or self.drop_path.drop_rate != 0.0
+        ):
+            return False
+        return all(
+            type(g.policy) is TokenNormTopK
+            and not g.policy.save_status
+            and g.policy.order == 2
+            for g in self.gates
+        )
+
+    def _v4_block_step(self, ctx, params, state, x, norms=None, next_gate=None):
+        """One whole-block incremental step via the 3-kernel pipeline
+        (ops/pallas/block_fused.py): [qkv select + recompute + attention +
+        proj norms] -> top_k -> [proj select + recompute + skip + MLP
+        norms] -> top_k -> [gated MLP] (the existing gate_group_mlp, which
+        also emits the NEXT block's qkv norms when chained). Semantics ==
+        the v2mlp dispatch (select-only qkv/proj recompute + gated MLP);
+        reference-parity FLOP counts replicated from the unfused path's
+        exact adds. ``norms``: this block's qkv-gate norms from the
+        previous block's emission. Returns (y, state, next_norms)."""
+        import jax
+
+        from eventful_transformer_tpu.core.indexing import coverage_from_norms
+        from eventful_transformer_tpu.ops.pallas.block_fused import (
+            proj_group,
+            qkv_attention_group,
+        )
+        from eventful_transformer_tpu.ops.pallas.gate_fused import ln_norms
+        from eventful_transformer_tpu.ops.pallas.gate_group import gate_group_mlp
+
+        interpret = jax.devices()[0].platform == "cpu"
+        n = x.shape[-2]
+        kq = self.qkv_gate.policy.capacity(n)
+        kp = self.projection_gate.policy.capacity(n)
+        km = self.mlp_gate.policy.capacity(n)
+        ln1, ln2 = params["input_layer_norm"], params["mlp_layer_norm"]
+        if norms is None:
+            norms = ln_norms(
+                x, state["qkv_gate"]["p"], ln1["scale"], ln1["bias"],
+                interpret=interpret,
+            )
+        cov1 = coverage_from_norms(norms, kq)
+        pq, attn, norms2 = qkv_attention_group(
+            x, state["qkv_gate"]["p"], cov1, state["projection_gate"]["p"],
+            ln1["scale"], ln1["bias"],
+            params["qkv"]["kernel"], params["qkv"]["bias"],
+            heads=self.heads, inv_scale=1.0 / self.scale, interpret=interpret,
+        )
+        cov2 = coverage_from_norms(norms2, kp)
+        pp, y1, norms3 = proj_group(
+            attn, state["projection_gate"]["p"], cov2, x,
+            state["mlp_gate"]["p"],
+            params["projection"]["kernel"], params["projection"]["bias"],
+            ln2["scale"], ln2["bias"], interpret=interpret,
+        )
+        cov3 = coverage_from_norms(norms3, km)
+        p_next, n_scale, n_bias = next_gate or (None, None, None)
+        outs = gate_group_mlp(
+            y1,
+            state["mlp_gate"]["p"],
+            state["mlp_accumulator"]["b"],
+            cov3,
+            ln2["scale"], ln2["bias"],
+            params["mlp_1"]["kernel"], params["mlp_1"]["bias"],
+            params["mlp_2"]["kernel"], params["mlp_2"]["bias"],
+            p_next, n_scale, n_bias,
+            ln_mode="post", kcap=km, interpret=interpret,
+        )
+        pm, bm, y = outs[:3]
+        next_norms = outs[3] if next_gate is not None else None
+        state = dict(state)
+        state["qkv_gate"] = {"p": pq}
+        state["projection_gate"] = {"p": pp}
+        state["mlp_gate"] = {"p": pm}
+        state["mlp_accumulator"] = {"b": bm}
+        # Reference-parity counts — the unfused path's exact keys/formulas:
+        # select-only gates (gating.py:90-111), valid_frac recompute linears
+        # (nn.py:147-154), counted attention matmuls, counted adds.
+        b, _, c = x.shape
+        rows = float(b * n)
+        hd = c // self.heads
+        ctx.add("gate_flops", x.size)  # qkv gate
+        fq = kq / n
+        ctx.add("linear_flops", fq * float(x.size * self.qkv.out_features))
+        ctx.add("bias_flops", fq * rows * self.qkv.out_features)
+        ctx.add("matmul_flops", float(b * self.heads * n * n * hd))  # q·kT
+        ctx.add("matmul_flops", float(b * self.heads * n * hd * n))  # A·V
+        ctx.add("gate_flops", x.size)  # projection gate
+        fp = kp / n
+        ctx.add("linear_flops", fp * float(x.size * self.projection.out_features))
+        ctx.add("bias_flops", fp * rows * self.projection.out_features)
+        ctx.add("add_flops", x.size)  # skip_1 residual
+        ctx.add("gate_flops", x.size)  # mlp gate
+        fm = km / n
+        hidden = self.mlp_1.out_features
+        ctx.add("linear_flops", fm * float(x.size * hidden))
+        ctx.add("bias_flops", fm * rows * hidden)
+        ctx.add("linear_flops", fm * rows * hidden * self.mlp_2.out_features)
+        ctx.add("bias_flops", fm * rows * self.mlp_2.out_features)
+        ctx.add("add_flops", y.size)  # mlp residual
+        return y, state, next_norms
 
     def _resident_qkv(self, n_tokens):
         """Whether the qkv buffer lives in window-major layout (see
@@ -1039,6 +1164,17 @@ class EventfulTokenwiseBlock(Block):
         skip_1 = x
         # Pallas kernels have no VJP here; training runs the XLA paths.
         mode = False if ctx.training else self._fused_mode(x.shape[-2])
+        if mode == "v4":
+            # Whole-block kernel pipeline (ops/pallas/block_fused.py):
+            # three fused kernels split at the top-k boundaries; cross-
+            # block norms emission chains v4 blocks (only the first block
+            # of a stack pays an XLA norms pass).
+            if self.gate_before_ln:
+                qkv_norms = None
+            out, state, next_norms = self._v4_block_step(
+                ctx, params, state, x, norms=qkv_norms, next_gate=next_gate
+            )
+            return (out, state, next_norms) if next_gate is not None else (out, state)
         resident = self._resident_qkv(x.shape[-2])
         # Training (or a forced-unfused override) runs the differentiable
         # XLA path while the resident state layout stays window-major (it
@@ -1257,7 +1393,12 @@ class EventfulTokenwiseBlock(Block):
     # in-kernel selection HALVED eventful throughput (the rank compare runs
     # serially per grid instance while batched lax.top_k costs only ~20 us),
     # and at ViTDet N=1764 the (N, N) comparison hung the remote Mosaic
-    # compile. Kept as a tested option (True forces; golden -topk tests).
+    # compile. The radix-bisection reformulation (round 4) fixed the
+    # large-N hang in interpret mode but is a compile catastrophe on the
+    # real Mosaic toolchain: ONE selection at N=24/B=2 took 181 s to
+    # compile (round 5) — which is why the whole-block v4 path splits its
+    # kernels at the top-k boundaries instead of selecting in-kernel.
+    # Kept as a tested option (True forces; golden -topk tests).
     in_kernel_topk = False
     TOPK_MAX_TOKENS = 512
 

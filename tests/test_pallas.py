@@ -940,3 +940,60 @@ def test_window_partition_gather_matches_transpose():
         np.testing.assert_allclose(
             np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
         )
+
+
+def test_wholeblock_v4_matches_unfused():
+    """Whole-block resident kernel (fused_gates='v4',
+    ops/pallas/block_fused.py) == the unfused select-only/recompute path
+    (the v2mlp semantics it replaces), value- and count-exact over
+    flush + incremental steps (interpret mode on CPU, f32)."""
+    import copy
+
+    import jax
+
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+    from eventful_transformer_tpu.core.policies import TokenNormTopK
+
+    rng = np.random.default_rng(7)
+    B, N, C = 2, 24, 64
+    blk_a = EventfulTokenwiseBlock(dim=C, heads=4, mlp_ratio=2, input_size=(4, 6))
+    blk_b = EventfulTokenwiseBlock(dim=C, heads=4, mlp_ratio=2, input_size=(4, 6))
+    for blk, mode in ((blk_a, False), (blk_b, "v4")):
+        blk.fused_gates = mode
+        for gate in blk.gates:
+            gate.policy = copy.deepcopy(TokenNormTopK(k=9))
+    assert blk_b._v4_eligible()
+    assert blk_b._fused_mode(N) == "v4"
+    params = blk_a.init(jax.random.PRNGKey(0))
+    x_seq = [
+        jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32)) * 0.5
+        for _ in range(4)
+    ]
+    outs_a, state_a, counts_a = _run_block_sequence(blk_a, params, x_seq, N)
+    outs_b, state_b, counts_b = _run_block_sequence(blk_b, params, x_seq, N)
+    for ya, yb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(
+            np.asarray(yb), np.asarray(ya), rtol=2e-5, atol=2e-5
+        )
+    flat_a = jax.tree_util.tree_leaves(state_a)
+    flat_b = jax.tree_util.tree_leaves(state_b)
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(la), rtol=2e-5, atol=2e-5
+        )
+    for key in counts_a:
+        np.testing.assert_allclose(counts_b[key], counts_a[key], rtol=1e-6), key
+
+
+def test_wholeblock_v4_ineligible_falls_back():
+    """Forcing 'v4' on an ineligible config (windowed) dispatches the
+    v2mlp path instead of mis-running the kernel."""
+    from eventful_transformer_tpu.core.blocks import EventfulTokenwiseBlock
+
+    blk = EventfulTokenwiseBlock(
+        dim=64, heads=4, mlp_ratio=2, input_size=(4, 8), window_size=[2, 2]
+    )
+    blk.fused_gates = "v4"
+    assert not blk._v4_eligible()
+    assert blk._fused_mode(32) == "v2mlp"
