@@ -850,8 +850,7 @@ class EventfulTokenwiseBlock(Block):
         if self.fused_gates == "v1":
             return "v1" if self.recompute_buffers else False
         if self.fused_gates == "v4":
-            # whole-block resident kernel (ops/pallas/block_fused.py):
-            # forced-only lever, measured round 5 (docs/PERF_NOTES.md)
+            # whole-block resident kernel (ops/pallas/block_fused.py)
             return "v4" if self._v4_eligible() else "v2mlp"
         if self.fused_gates in ("v2", "v2mlp", "v1v2", "v3", "blocked", True):
             return "v2" if self.fused_gates is True else self.fused_gates
@@ -866,7 +865,11 @@ class EventfulTokenwiseBlock(Block):
         if self.drop_path.drop_rate != 0.0 or self.ats_fraction is not None:
             return False
         if n_tokens <= self.V2MLP_MAX_TOKENS:
-            return "v2mlp"
+            # whole-block v4 pipeline where structurally eligible: measured
+            # 1.0834x vs v2mlp's 1.0670x at the ViViT K400 point (one-process
+            # 3-way A/B, docs/PERF_NOTES.md round 5); the per-head weight
+            # layout keeps its Mosaic compile at ~4 s (was 313 s)
+            return "v4" if self._v4_eligible() else "v2mlp"
         if n_tokens <= self.V2_MAX_TOKENS:
             return "v2"
         return "blocked"
@@ -898,6 +901,15 @@ class EventfulTokenwiseBlock(Block):
             or self.sequence_parallel is not None
             or self.matmul_2_cast is not None
             or self.drop_path.drop_rate != 0.0
+        ):
+            return False
+        # kernel A slices q/k/v per head from the (N, 3C) qkv block; at
+        # large C the offsets must be expressible as 128-aligned pair tiles
+        # or per-head slicing is a Mosaic compile catastrophe (313 s
+        # measured) — see block_fused.py::_make_qkv_attention_kernel
+        head_dim = self.dim // self.heads
+        if self.dim > 256 and head_dim % 128 != 0 and (
+            self.heads % 2 != 0 or (2 * head_dim) % 128 != 0
         ):
             return False
         return all(

@@ -67,6 +67,16 @@ def _select_rows(new_f32, p_ref_row, cov_row):
 
 
 def _make_qkv_attention_kernel(heads, inv_scale):
+    # Slice discipline (measured round 5, scripts/misc/
+    # time_blockfused_compile.py + docs/PERF_NOTES.md): the qkv projection
+    # must stay ONE full-width (N, 3C) matmul — splitting it into per-head
+    # (C, 64) matmuls halves MXU utilization on the projection and measured
+    # 0.88x end-to-end (vs 1.083x). But slicing q/k/v per head at h*64 lane
+    # offsets straight from the (N, 3C) block is a Mosaic compile
+    # catastrophe (313 s: every 64-offset slice of the wide block is an
+    # unaligned relayout). So: slice 128-ALIGNED head PAIRS from the wide
+    # block (offsets h2*128, c, 2c all lane-tile-aligned), then subdivide
+    # only the small (N, 128) pair tiles into 64-lane halves.
     def kernel(
         x_ref, pq_ref, cov_ref, pp_ref,
         ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
@@ -82,16 +92,35 @@ def _make_qkv_attention_kernel(heads, inv_scale):
         p1 = _select_rows(new1, pq_ref[0], cov_ref[0])
         pq_out[0] = p1.astype(pq_out.dtype)
         qkv = _dot(p1.astype(wd), wqkv_ref[...]).astype(wd) + bqkv_ref[0]
-        outs = []
-        for h in range(heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, c + h * head_dim:c + (h + 1) * head_dim]
-            v = qkv[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
-            logits = _dot(q * jnp.asarray(inv_scale, wd), k, trans_b=True)
+        scale = jnp.asarray(inv_scale, wd)
+
+        def attend(q, k, v):
+            logits = _dot(q * scale, k, trans_b=True)
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
             attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-            outs.append(_dot(attn, v).astype(wd))
+            return _dot(attn, v).astype(wd)
+
+        outs = []
+        if head_dim % 128 == 0 or c <= 256:
+            # aligned per-head slices, or a block narrow enough that the
+            # relayouts are trivial (small-dim test shapes)
+            for h in range(heads):
+                sl = lambda base: qkv[:, base + h * head_dim:
+                                      base + (h + 1) * head_dim]
+                outs.append(attend(sl(0), sl(c), sl(2 * c)))
+        else:
+            assert heads % 2 == 0 and (2 * head_dim) % 128 == 0, (
+                "v4 kernel A requires lane-tile-alignable head pairs; "
+                "_v4_eligible must gate this"
+            )
+            for h2 in range(heads // 2):
+                pair = lambda base: qkv[:, base + h2 * 2 * head_dim:
+                                        base + (h2 + 1) * 2 * head_dim]
+                qp, kp, vp = pair(0), pair(c), pair(2 * c)
+                for s in range(2):
+                    half = slice(s * head_dim, (s + 1) * head_dim)
+                    outs.append(attend(qp[:, half], kp[:, half], vp[:, half]))
         a_out = jnp.concatenate(outs, axis=-1)
         attn_out[0] = a_out
         # proj gate error norms (input domain) from the block in VMEM

@@ -61,7 +61,8 @@ def main():
     names = ["dense", "v2mlp", "v4"]
     models = [
         build_model(False, k, args.views, args.frames, args.size),
-        build_model(True, k, args.views, args.frames, args.size),
+        # force v2mlp: auto now resolves to v4 on TPU for eligible blocks
+        build_model(True, k, args.views, args.frames, args.size, fused="v2mlp"),
         build_model(True, k, args.views, args.frames, args.size, fused="v4"),
     ]
     jobs = []

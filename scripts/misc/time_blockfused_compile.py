@@ -1,21 +1,30 @@
 """Time the Mosaic compile of the whole-block kernel A variants at the
 ViViT operating shape (docs/PERF_NOTES.md round 5).
 
-The shipped kernel A (ops/pallas/block_fused.py::qkv_attention_group)
-unrolls the 12-head attention loop with q/k/v sliced from the (N, 3C)
-qkv block at 64-lane offsets — unaligned to the 128-wide vector lanes,
-so every slice is a relayout. Measured 313 s of Mosaic compile at the
-ViViT shape. The variant here takes the qkv weight pre-split into
-per-head stacks (3, H, C, D) and indexes heads on the LEADING dim
-(free), producing q/k/v directly at (N, D); only the final concatenate
-touches lanes. Run on TPU:
+The ORIGINAL kernel A unrolled the 12-head attention loop with q/k/v
+sliced from the (N, 3C) qkv block at 64-lane offsets — unaligned to the
+128-wide vector lanes, so every slice is a relayout. Measured: 313 s of
+Mosaic compile at the ViViT shape (B=32), ~15 min at B=8. The `perhead`
+variant here takes the qkv weight pre-split into per-head stacks
+(3, H, C, D) and indexes heads on the LEADING dim (free), producing
+q/k/v directly at (N, D); measured 4.4 s compile with bit-identical
+outputs — it is now THE shipped formulation (qkv_attention_group does
+the weight split internally), so `--variant shipped` and `--variant
+perhead` time the same kernel body with the split done inside/outside
+the jit. Kept as the record of the experiment. Run on TPU:
 
     python scripts/misc/time_blockfused_compile.py [--variant shipped|perhead]
 """
 
 import argparse
+import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
 
 import jax
 import jax.numpy as jnp
