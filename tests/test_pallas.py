@@ -997,3 +997,51 @@ def test_wholeblock_v4_ineligible_falls_back():
     blk.fused_gates = "v4"
     assert not blk._v4_eligible()
     assert blk._fused_mode(32) == "v2mlp"
+
+
+def test_wholeblock_v4_kernel_a_pair_branch():
+    """Kernel A's 128-aligned PAIR-slice branch (dim > 256, head_dim 64 —
+    the ViViT-B shape class; ops/pallas/block_fused.py) == plain jnp
+    attention math, in interpret mode. The small-dim v4 block tests only
+    exercise the direct-slice branch (c <= 256)."""
+    import jax
+
+    from eventful_transformer_tpu.ops.pallas.block_fused import (
+        qkv_attention_group,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, C, H = 2, 24, 768, 12
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x, pq, pp = f(B, N, C) * 0.5, f(B, N, C) * 0.5, f(B, N, C) * 0.5
+    cov = jnp.zeros((B, N), jnp.float32).at[:, ::3].set(1.0)
+    s1, b1 = f(C) * 0.1 + 1.0, f(C) * 0.1
+    wqkv, bqkv = f(C, 3 * C) * 0.02, f(3 * C) * 0.02
+    inv_scale = (C / H) ** -0.5
+
+    pq2, attn, norms = qkv_attention_group(
+        x, pq, cov, pp, s1, b1, wqkv, bqkv,
+        heads=H, inv_scale=inv_scale, interpret=True,
+    )
+
+    # oracle
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    new1 = (x - mu) * jax.lax.rsqrt(var + 1e-6) * s1 + b1
+    p1 = jnp.where(cov[..., None] > 0, new1, pq)
+    qkv = p1 @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, N, H, C // H).transpose(0, 2, 1, 3) * inv_scale
+    k = k.reshape(B, N, H, C // H).transpose(0, 2, 1, 3)
+    v = v.reshape(B, N, H, C // H).transpose(0, 2, 1, 3)
+    a = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2), axis=-1)
+    ref_attn = (a @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
+    ref_norms = jnp.sqrt(jnp.sum((ref_attn - pp) ** 2, axis=-1))
+
+    np.testing.assert_allclose(np.asarray(pq2), np.asarray(p1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(attn), np.asarray(ref_attn), rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(norms), np.asarray(ref_norms), rtol=5e-3, atol=5e-3
+    )
